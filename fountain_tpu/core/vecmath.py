@@ -1,0 +1,212 @@
+"""Batched 3-vector math and floating-point error bounds.
+
+TPU-native analog of the reference's L0 math core:
+``src/math.rs``, ``src/geometry/mod.rs``, ``src/err_float.rs``.
+
+All functions operate on ``jnp`` arrays whose *last* axis is the component
+axis (shape ``[..., 3]`` for vectors/points/normals, ``[..., 2]`` for 2D).
+There are no Point/Vector/Normal wrapper types: the distinction only matters
+at transform time (reference src/geometry/transform.rs:117-139), where the
+caller picks `transform_point` / `transform_vector` / `transform_normal`.
+
+Error-bound machinery (`gamma`, `offset_ray_origin`) follows the running
+floating-point error analysis of the reference (src/err_float.rs:7-30,
+src/geometry/mod.rs:72-85); it is what makes shadow/secondary rays robust
+without a fixed scene-scale epsilon.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+Float = jnp.float32
+
+# Machine epsilon / 2 for f32 (= 2^-24), as used by the reference error
+# bounds (src/err_float.rs:7-10).
+MACHINE_EPSILON = 2.0 ** -24
+# Shadow-ray clipping epsilon (reference src/interaction.rs:10).
+SHADOW_EPSILON = 1e-4
+INFINITY = jnp.float32(jnp.inf)
+PI = 3.14159265358979323846
+INV_PI = 1.0 / PI
+INV_2PI = 1.0 / (2.0 * PI)
+INV_4PI = 1.0 / (4.0 * PI)
+PI_OVER_2 = PI / 2.0
+PI_OVER_4 = PI / 4.0
+
+
+def gamma(n) -> float:
+    """Conservative relative error bound for n chained fp ops.
+
+    gamma(n) = n*eps / (1 - n*eps)  (reference src/err_float.rs:7-10).
+    Accepts python ints (static) — returns a python float usable as a
+    compile-time constant.
+    """
+    ne = n * MACHINE_EPSILON
+    return ne / (1.0 - ne)
+
+
+def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Dot product over the trailing component axis; keeps batch dims."""
+    return jnp.sum(a * b, axis=-1)
+
+
+def absdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(dot(a, b))
+
+
+def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.cross(a, b)
+
+
+def length_sq(v: jnp.ndarray) -> jnp.ndarray:
+    return dot(v, v)
+
+
+def length(v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(length_sq(v))
+
+
+def distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return length(a - b)
+
+
+def distance_sq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return length_sq(a - b)
+
+
+def normalize(v: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Normalize over the trailing axis. ``eps`` guards 0-length vectors."""
+    len2 = length_sq(v)
+    inv = jnp.where(len2 > eps, jnp.reciprocal(jnp.sqrt(jnp.maximum(len2, 1e-30))), 0.0)
+    return v * inv[..., None]
+
+
+def lerp(t, a, b):
+    return (1.0 - t) * a + t * b
+
+
+def vec(x, y, z) -> jnp.ndarray:
+    """Stack components into a [..., 3] vector."""
+    return jnp.stack(jnp.broadcast_arrays(
+        jnp.asarray(x, Float), jnp.asarray(y, Float), jnp.asarray(z, Float)), axis=-1)
+
+
+def coordinate_system(v1: jnp.ndarray):
+    """Build an orthonormal basis (v1, v2, v3) from a unit vector v1.
+
+    Branch-free batched version of reference src/geometry/mod.rs:53-62
+    (which branches on |x|>|y|): both candidate tangents are computed and
+    selected with `where`, the natural TPU formulation.
+    """
+    x, y, z = v1[..., 0], v1[..., 1], v1[..., 2]
+    use_x = jnp.abs(x) > jnp.abs(y)
+    inv_a = jnp.reciprocal(jnp.sqrt(jnp.where(use_x, x * x + z * z, y * y + z * z)))
+    v2 = jnp.where(
+        use_x[..., None],
+        vec(-z * inv_a, jnp.zeros_like(x), x * inv_a),
+        vec(jnp.zeros_like(x), z * inv_a, -y * inv_a),
+    )
+    v3 = cross(v1, v2)
+    return v1, v2, v3
+
+
+def face_forward(n: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Flip n so it lies in the same hemisphere as v."""
+    return jnp.where(dot(n, v)[..., None] < 0.0, -n, n)
+
+
+def reflect(wo: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Mirror direction about n (both point away from surface).
+
+    Reference src/reflection/mod.rs (reflect helper): -wo + 2 (wo.n) n.
+    """
+    return -wo + 2.0 * dot(wo, n)[..., None] * n
+
+
+def refract(wi: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray):
+    """Refract wi about n with relative IOR eta = eta_i/eta_t.
+
+    Returns (wt, valid) where valid=False marks total internal reflection.
+    Behavioral parity with the reference's refract helper
+    (src/reflection/mod.rs:200-250 SpecularTransmission path).
+    """
+    cos_theta_i = dot(n, wi)
+    sin2_theta_i = jnp.maximum(0.0, 1.0 - cos_theta_i * cos_theta_i)
+    sin2_theta_t = eta * eta * sin2_theta_i
+    valid = sin2_theta_t < 1.0
+    cos_theta_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_theta_t))
+    wt = eta[..., None] * -wi + (eta * cos_theta_i - cos_theta_t)[..., None] * n
+    return wt, valid
+
+
+def spherical_direction(sin_theta, cos_theta, phi) -> jnp.ndarray:
+    return vec(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
+
+
+def spherical_theta(v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.arccos(jnp.clip(v[..., 2], -1.0, 1.0))
+
+
+def spherical_phi(v: jnp.ndarray) -> jnp.ndarray:
+    p = jnp.arctan2(v[..., 1], v[..., 0])
+    return jnp.where(p < 0.0, p + 2.0 * PI, p)
+
+
+def next_float_up(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.nextafter(x, jnp.asarray(jnp.inf, x.dtype))
+
+
+def next_float_down(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.nextafter(x, jnp.asarray(-jnp.inf, x.dtype))
+
+
+def offset_ray_origin(p: jnp.ndarray, p_err: jnp.ndarray, n: jnp.ndarray,
+                      w: jnp.ndarray) -> jnp.ndarray:
+    """Offset a spawned ray's origin along the normal past the error bound.
+
+    Conservative self-intersection avoidance: move the origin out of the
+    error box around p along ±n (sign chosen towards w), then round each
+    component away from p (reference src/geometry/mod.rs:72-85).
+    """
+    d = dot(jnp.abs(n), p_err)
+    offset = d[..., None] * n
+    offset = jnp.where(dot(w, n)[..., None] < 0.0, -offset, offset)
+    po = p + offset
+    po = jnp.where(offset > 0.0, next_float_up(po),
+                   jnp.where(offset < 0.0, next_float_down(po), po))
+    return po
+
+
+def quadratic(a, b, c):
+    """Stable quadratic roots (t0 <= t1) with a validity mask.
+
+    Batched, branch-free version of reference src/math.rs:36-53 (citardauq
+    form: the root with cancellation risk is computed as c/q). The reference
+    solves in EFloat interval arithmetic; here plain f32, and hot callers
+    (sphere intersect) additionally use the geometric rearrangement that
+    avoids catastrophic cancellation in the discriminant.
+    """
+    disc = b * b - 4.0 * a * c
+    valid = (disc >= 0.0) & (a != 0.0)
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(b < 0.0, -0.5 * (b - root), -0.5 * (b + root))
+    t0 = q / jnp.where(a == 0.0, 1.0, a)
+    t1 = c / jnp.where(q == 0.0, 1.0, q)
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    return lo, hi, valid
+
+
+def solve_linear_system_2x2(a00, a01, a10, a11, b0, b1):
+    """Solve a 2x2 linear system; returns (x0, x1, valid).
+
+    Batched analog of reference src/math.rs:56-72 (used for texture
+    differentials, src/interaction.rs:123-173).
+    """
+    det = a00 * a11 - a01 * a10
+    valid = jnp.abs(det) >= 1e-10
+    safe = jnp.where(valid, det, 1.0)
+    x0 = (a11 * b0 - a01 * b1) / safe
+    x1 = (a00 * b1 - a10 * b0) / safe
+    ok = valid & jnp.isfinite(x0) & jnp.isfinite(x1)
+    return x0, x1, ok

@@ -1,0 +1,229 @@
+"""Wavefront unidirectional path integrator with NEE + MIS.
+
+TPU-native analog of reference ``src/integrator/path.rs`` (the iterative
+per-ray bounce loop :25-95) and the shared NEE/MIS machinery
+(``uniform_sample_one_light`` / ``estimate_direct``,
+src/integrator/mod.rs:289-395):
+
+- the whole wavefront of lanes advances together through a statically
+  unrolled bounce loop; per-lane divergence (escape, RR death, black BSDF
+  sample) is handled by an `active` mask instead of `break`,
+- emitted radiance is added on bounce 0 / after specular bounces
+  (path.rs:43-51); NEE picks one light uniformly per bounce
+  (mod.rs:289-305) and combines light- and BSDF-sampling with the power
+  heuristic (mod.rs:336,362),
+- Russian roulette after 3 bounces below the throughput threshold
+  (path.rs:84-91),
+- every random number is a counter-based hash of
+  (lane, sample, bounce, slot) — see core.rng.
+
+Differentiability: sampled directions / discrete choices are detached
+(stop_gradient) so gradients flow through the integrand f·L·cos/pdf —
+the detached-sampling estimator. The reference has no gradient story.
+
+Known deviation: lanes hitting a null-BSDF material (mat_id = -1) pass
+through but *do* consume a bounce iteration here (the reference `continue`s
+without incrementing, path.rs:77-81); only affects scenes with null
+materials at extreme depth budgets.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fountain_tpu.core import rng
+from fountain_tpu.core.sampling import power_heuristic
+from fountain_tpu.core.vecmath import (SHADOW_EPSILON, absdot, dot,
+                                       normalize, offset_ray_origin)
+from fountain_tpu.geometry.intersect import (Hit, scene_intersect,
+                                             scene_intersect_any, spawn_ray)
+from fountain_tpu.lights.lights import (emitted_radiance,
+                                        environment_radiance, light_pdf,
+                                        sample_light)
+from fountain_tpu.scene.types import Scene
+from fountain_tpu.shading.bsdf import (bsdf_f_pdf, bsdf_sample,
+                                       gather_shading, has_non_specular,
+                                       local_to_world, world_to_local)
+
+# RNG slot layout within a bounce (dims are bounce*SLOTS + slot)
+_SLOTS = 4
+_SLOT_BSDF = 0      # u_lobe, u1, u2
+_SLOT_LIGHT = 1     # light select, u_light x2
+_SLOT_SCATTER = 2   # u_scattering x2 (MIS bsdf branch)
+_SLOT_RR = 3
+DIM_CAMERA = 1 << 20  # camera jitter/lens dims live far above bounce dims
+
+
+class PathConfig(NamedTuple):
+    max_depth: int = 5
+    rr_threshold: float = 1.0
+    nee: bool = True          # next-event estimation on (reference default)
+    emit_all_bounces: bool = False  # BSDF-sampling-only mode (nee=False)
+
+
+def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
+                     u_light, u_scatter, detach):
+    """One-light direct illumination with both MIS branches
+    (reference estimate_direct, integrator/mod.rs:307-395)."""
+    wo_l = world_to_local(hit, hit.wo)
+
+    # ---- light-sampling branch
+    ls = sample_light(scene, light_idx, hit.p, u_light[0], u_light[1])
+    wi = detach(ls.wi)
+    wi_l = world_to_local(hit, wi)
+    f, scattering_pdf = bsdf_f_pdf(sp, wo_l, wi_l)
+    f_cos = f * absdot(wi, hit.ns)[..., None]
+    light_pdf_val = detach(ls.pdf)
+
+    possible = (light_pdf_val > 0.0) & jnp.any(ls.radiance > 0.0, -1) \
+        & jnp.any(f_cos > 0.0, -1)
+    # shadow ray (VisibilityTester::unoccluded, light/mod.rs:82-85 →
+    # spawn_ray_to_hit, interaction.rs:47-58)
+    o_sh = offset_ray_origin(hit.p, hit.p_err, hit.n, wi)
+    target = jnp.where(
+        ls.is_infinite[..., None] | ls.is_delta[..., None], ls.p_light,
+        offset_ray_origin(ls.p_light, ls.p_light_err, ls.n_light,
+                          o_sh - ls.p_light))
+    d_sh = target - o_sh
+    t_max = jnp.where(possible, 1.0 - SHADOW_EPSILON, -1.0)  # skip dead lanes
+    occluded = scene_intersect_any(scene, o_sh, d_sh, t_max)
+    unocc = possible & ~occluded
+
+    weight_l = jnp.where(ls.is_delta, 1.0,
+                         power_heuristic(1, light_pdf_val, 1,
+                                         detach(scattering_pdf)))
+    ld = jnp.where(
+        unocc[..., None],
+        f_cos * ls.radiance * (weight_l
+                               / jnp.maximum(light_pdf_val, 1e-12))[..., None],
+        0.0)
+
+    # ---- BSDF-sampling branch (skipped for delta lights, mod.rs:344-346)
+    bs = bsdf_sample(sp, wo_l, u_scatter[0], u_scatter[1], u_scatter[2])
+    wi_b = detach(local_to_world(hit, bs.wi))
+    f_b = bs.f * absdot(wi_b, hit.ns)[..., None]
+    bsdf_ok = bs.valid & ~ls.is_delta & jnp.any(f_b > 0.0, -1) & ~bs.is_specular
+    lpdf_b = light_pdf(scene, light_idx, hit.p, wi_b)
+    bsdf_ok = bsdf_ok & (lpdf_b > 0.0)
+    weight_b = power_heuristic(1, detach(bs.pdf), 1, detach(lpdf_b))
+
+    # trace the BSDF-sampled ray; count light only if we hit THIS light
+    o_b = spawn_ray(hit, wi_b)
+    t_inf = jnp.where(bsdf_ok, jnp.inf, -1.0)
+    hit_b = scene_intersect(scene, o_b, wi_b, t_inf)
+    same_light = hit_b.valid & (hit_b.light_id == light_idx)
+    li_surface = jnp.where(same_light[..., None],
+                           emitted_radiance(scene, hit_b), 0.0)
+    from fountain_tpu.scene.types import LIGHT_INFINITE
+    is_inf_light = scene.lights.ltype[
+        jnp.clip(light_idx, 0, max(n_lights - 1, 0))] == LIGHT_INFINITE
+    li_env = jnp.where((~hit_b.valid & is_inf_light)[..., None],
+                       environment_radiance(scene, wi_b), 0.0)
+    li = li_surface + li_env
+    lb = jnp.where(
+        bsdf_ok[..., None],
+        f_b * li * (weight_b / jnp.maximum(detach(bs.pdf), 1e-12))[..., None],
+        0.0)
+    return ld + lb
+
+
+def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
+                seed=0, detach_sampling: bool = True):
+    """Trace one camera-path per lane; returns radiance [N, 3].
+
+    o, d: camera ray origins/directions [N,3]; lane/sample: int arrays [N]
+    feeding the counter-based RNG.
+    """
+    n_lights = scene.lights.count
+    detach = jax.lax.stop_gradient if detach_sampling else (lambda x: x)
+
+    n = o.shape[:-1]
+    state = dict(
+        o=o, d=d,
+        beta=jnp.ones(n + (3,), jnp.float32),
+        radiance=jnp.zeros(n + (3,), jnp.float32),
+        active=jnp.ones(n, bool),
+        specular=jnp.zeros(n, bool),
+    )
+
+    def bounce_body(bounce, st):
+        t_max = jnp.where(st["active"], jnp.inf, -1.0)
+        hit = scene_intersect(scene, st["o"], st["d"], t_max)
+
+        # --- emitted radiance (path.rs:43-51)
+        gate = (bounce == 0) | st["specular"] | cfg.emit_all_bounces
+        add_emit = st["active"] & gate
+        le_surf = emitted_radiance(scene, hit)
+        le_env = jnp.where(hit.valid[..., None], 0.0,
+                           environment_radiance(scene, st["d"]))
+        st["radiance"] = st["radiance"] + jnp.where(
+            add_emit[..., None], st["beta"] * (le_surf + le_env), 0.0)
+
+        # --- terminate: escaped or depth cap (path.rs:53-56)
+        alive = st["active"] & hit.valid & (bounce < cfg.max_depth)
+
+        sp = gather_shading(scene, hit)
+        null_bsdf = alive & (sp.mtype < 0)
+
+        # --- NEE (path.rs:60-64) on lanes with non-specular lobes
+        if cfg.nee and n_lights > 0:
+            u_sel = rng.uniform4(lane, sample, bounce * _SLOTS + _SLOT_LIGHT,
+                                 seed)
+            u_sc = rng.uniform4(lane, sample, bounce * _SLOTS + _SLOT_SCATTER,
+                                seed)
+            light_idx = jnp.minimum(
+                (u_sel[0] * n_lights).astype(jnp.int32), n_lights - 1)
+            nee_on = alive & has_non_specular(sp) & ~null_bsdf
+            # mask dead lanes by zeroing beta contribution
+            direct = _estimate_direct(
+                scene, hit, sp, light_idx, n_lights,
+                (u_sel[1], u_sel[2]), (u_sc[0], u_sc[1], u_sc[2]), detach)
+            st["radiance"] = st["radiance"] + jnp.where(
+                nee_on[..., None],
+                st["beta"] * jnp.float32(n_lights) * direct, 0.0)
+
+        # --- BSDF sampling for continuation (path.rs:66-76)
+        ub = rng.uniform4(lane, sample, bounce * _SLOTS + _SLOT_BSDF, seed)
+        wo_l = world_to_local(hit, hit.wo)
+        bs = bsdf_sample(sp, wo_l, ub[0], ub[1], ub[2])
+        wi_w = detach(normalize(local_to_world(hit, bs.wi)))
+        f_ok = bs.valid & jnp.any(bs.f != 0.0, -1)
+        contrib = bs.f * (absdot(wi_w, hit.ns)
+                          / jnp.maximum(detach(bs.pdf), 1e-12))[..., None]
+        new_beta = st["beta"] * jnp.where(f_ok[..., None], contrib, 1.0)
+        new_o = spawn_ray(hit, wi_w)
+
+        # null bsdf: pass through unchanged (see module docstring)
+        pass_o = offset_ray_origin(hit.p, hit.p_err, hit.n, st["d"])
+        st["o"] = jnp.where(null_bsdf[..., None], pass_o,
+                            jnp.where(alive[..., None], new_o, st["o"]))
+        st["d"] = jnp.where(null_bsdf[..., None], st["d"],
+                            jnp.where(alive[..., None], wi_w, st["d"]))
+        st["beta"] = jnp.where((alive & ~null_bsdf)[..., None], new_beta,
+                               st["beta"])
+        st["specular"] = jnp.where(null_bsdf, st["specular"],
+                                   jnp.where(alive, bs.is_specular,
+                                             st["specular"]))
+        alive = alive & (null_bsdf | f_ok)
+
+        # --- Russian roulette (path.rs:84-91)
+        if cfg.rr_threshold > 0.0:
+            u_rr = rng.uniform1(lane, sample, bounce * _SLOTS + _SLOT_RR,
+                                seed)
+            beta_max = detach(jnp.max(st["beta"], axis=-1))
+            do_rr = alive & (beta_max < cfg.rr_threshold) & (bounce > 3)
+            q = jnp.maximum(0.05, 1.0 - beta_max)
+            die = do_rr & (u_rr < q)
+            st["beta"] = jnp.where(
+                (do_rr & ~die)[..., None],
+                st["beta"] / jnp.maximum(1.0 - q, 1e-6)[..., None],
+                st["beta"])
+            alive = alive & ~die
+
+        st["active"] = alive
+        return st
+
+    state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce_body, state)
+    return state["radiance"]

@@ -1,0 +1,107 @@
+"""Film: reconstruction-filtered sample accumulation.
+
+TPU-native analog of reference ``src/film.rs`` + ``src/filter/mod.rs``:
+- the mutex-guarded tile merge (film.rs:24,121-132) becomes a pure
+  scatter-add over (rgb_sum, weight_sum) accumulator arrays — partial sums
+  are associative, so multi-chip films `psum` for free,
+- the 16×16 precomputed filter table (film.rs:61-71) becomes an analytic
+  filter evaluation over the (2r)² support window, unrolled statically,
+- accumulators hold linear RGB (the reference accumulates XYZ and converts
+  on output, film.rs:195-210 — both are linear maps and commute with the
+  filter sums; RGB avoids two conversions).
+
+Checkpoint/resume: (rgb_sum, weight_sum, sample counter) is the complete
+frame state (SURVEY.md §5 checkpointing note).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from fountain_tpu.core.vecmath import Float
+
+FILTER_BOX = 0
+FILTER_TRIANGLE = 1
+FILTER_GAUSSIAN = 2
+
+
+class Film(NamedTuple):
+    rgb_sum: jnp.ndarray     # [H, W, 3]
+    weight_sum: jnp.ndarray  # [H, W]
+
+    @property
+    def resolution(self) -> Tuple[int, int]:
+        h, w = self.weight_sum.shape
+        return w, h
+
+
+def make_film(xres: int, yres: int) -> Film:
+    return Film(rgb_sum=jnp.zeros((yres, xres, 3), Float),
+                weight_sum=jnp.zeros((yres, xres), Float))
+
+
+def filter_weight(ftype: int, radius: float, dx, dy):
+    """Filter kernel value at continuous offset (dx, dy) from the sample.
+
+    box: 1 inside support (reference filter/mod.rs:10-33);
+    triangle: tent; gaussian: pbrt alpha=2 with edge subtraction.
+    """
+    ax, ay = jnp.abs(dx), jnp.abs(dy)
+    inside = (ax <= radius) & (ay <= radius)
+    if ftype == FILTER_BOX:
+        w = jnp.ones_like(dx)
+    elif ftype == FILTER_TRIANGLE:
+        w = jnp.maximum(radius - ax, 0.0) * jnp.maximum(radius - ay, 0.0)
+    else:  # gaussian
+        alpha = 2.0
+        edge = jnp.exp(-alpha * radius * radius)
+        gx = jnp.maximum(jnp.exp(-alpha * dx * dx) - edge, 0.0)
+        gy = jnp.maximum(jnp.exp(-alpha * dy * dy) - edge, 0.0)
+        w = gx * gy
+    return jnp.where(inside, w, 0.0)
+
+
+def add_samples(film: Film, p_film: jnp.ndarray, radiance: jnp.ndarray,
+                ftype: int = FILTER_BOX, radius: float = 0.5) -> Film:
+    """Splat samples at continuous raster positions p_film [N,2] with values
+    radiance [N,3] (reference add_sample_to_tile film.rs:136-172).
+
+    The filter support window (discrete pixels within `radius` of the
+    sample) is enumerated statically: `ceil(radius - 0.5)*2 + 1` taps per
+    axis — 1 tap for the common radius<=0.5 case, 9 for radius<=1.5 etc.
+    Each tap is a masked scatter-add; XLA fuses the taps.
+    """
+    h, w = film.weight_sum.shape
+    # pbrt discrete/continuous convention: pixel (x, y) covers
+    # [x, x+1) x [y, y+1); its center is (x+0.5, y+0.5)
+    taps = int(jnp.ceil(radius - 0.5)) if radius > 0.5 else 0
+    rgb = film.rgb_sum.reshape(-1, 3)
+    wsum = film.weight_sum.reshape(-1)
+    # discrete pixel of the sample
+    px0 = jnp.floor(p_film[..., 0] - 0.5)
+    py0 = jnp.floor(p_film[..., 1] - 0.5)
+    finite = jnp.all(jnp.isfinite(radiance), axis=-1)
+    radiance = jnp.where(finite[..., None], radiance, 0.0)
+    for oy in range(-taps, taps + 1):
+        for ox in range(-taps, taps + 1):
+            px = px0 + ox
+            py = py0 + oy
+            dx = (px + 0.5) - p_film[..., 0]
+            dy = (py + 0.5) - p_film[..., 1]
+            fw = filter_weight(ftype, radius, dx, dy)
+            inb = (px >= 0) & (px < w) & (py >= 0) & (py < h) & finite
+            fw = jnp.where(inb, fw, 0.0)
+            idx = (jnp.clip(py, 0, h - 1) * w
+                   + jnp.clip(px, 0, w - 1)).astype(jnp.int32)
+            rgb = rgb.at[idx].add(fw[..., None] * radiance,
+                                  mode="drop")
+            wsum = wsum.at[idx].add(fw, mode="drop")
+    return Film(rgb_sum=rgb.reshape(h, w, 3), weight_sum=wsum.reshape(h, w))
+
+
+def finalize(film: Film) -> jnp.ndarray:
+    """Weight-normalized image [H,W,3] (reference into_spectrum_buffer,
+    film.rs:195-210)."""
+    w = jnp.maximum(film.weight_sum[..., None], 1e-12)
+    return jnp.where(film.weight_sum[..., None] > 0.0, film.rgb_sum / w, 0.0)

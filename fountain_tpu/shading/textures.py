@@ -1,0 +1,82 @@
+"""Texture evaluation over the flattened texture table.
+
+TPU-native analog of reference ``src/texture/``: the `Arc<dyn Texture>`
+object graph (texture/mod.rs:12-21) becomes an id-indexed table
+(scene.types.Textures) evaluated with masked gathers. Nesting
+(checkerboard/scale sub-textures, checkerboard.rs:10-65) is resolved with a
+bounded unrolled loop — scene compilation guarantees sub-texture ids point
+"downward" in the table.
+
+Image textures (mipmapped) are wired in via fountain_tpu.shading.mipmap.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fountain_tpu.core.vecmath import Float
+from fountain_tpu.scene.types import (TEX_CHECKER, TEX_CONSTANT, TEX_IMAGE,
+                                      TEX_SCALE, TEX_UV, Textures)
+
+# maximum nesting depth of the texture graph we resolve (checker-of-scale-of-
+# image etc.). Matches practical PBRT scenes.
+MAX_TEX_DEPTH = 3
+
+
+def _leaf_value(tex: Textures, tid, uv, env_images=None, tex_lookup=None):
+    """Evaluate non-nesting texture types for per-lane ids `tid` at `uv`."""
+    ttype = tex.ttype[tid]
+    value = tex.value[tid]
+    su, sv = tex.uv_scale[tid, 0], tex.uv_scale[tid, 1]
+    du, dv = tex.uv_offset[tid, 0], tex.uv_offset[tid, 1]
+    u = uv[..., 0] * su + du
+    v = uv[..., 1] * sv + dv
+
+    out = value  # TEX_CONSTANT (texture/mod.rs:34-42)
+
+    # TEX_UV debug texture (texture/uv.rs:6-25): rgb = (u%1, v%1, 0)
+    uv_rgb = jnp.stack([u - jnp.floor(u), v - jnp.floor(v),
+                        jnp.zeros_like(u)], axis=-1)
+    out = jnp.where((ttype == TEX_UV)[..., None], uv_rgb, out)
+
+    if tex_lookup is not None:
+        img_rgb = tex_lookup(tex.image_id[tid], u, v)
+        out = jnp.where((ttype == TEX_IMAGE)[..., None], img_rgb, out)
+    return out
+
+
+def eval_texture(tex: Textures, tid: jnp.ndarray, uv: jnp.ndarray,
+                 tex_lookup=None) -> jnp.ndarray:
+    """Evaluate texture ids [N] at uv [N,2] -> rgb [N,3].
+
+    ``tex_lookup(image_id, u, v) -> rgb`` is supplied by the mipmap layer
+    when the scene has image textures (kept as an injection point so this
+    module has no HBM image dependencies).
+    """
+    tid = jnp.clip(tid, 0, max(tex.count - 1, 0)).astype(jnp.int32)
+    if tex.count == 0:
+        return jnp.zeros(uv.shape[:-1] + (3,), Float)
+
+    ttype = tex.ttype[tid]
+
+    # checkerboard selector (reference checkerboard.rs:47-58: integer lattice
+    # parity in mapped uv)
+    su, sv = tex.uv_scale[tid, 0], tex.uv_scale[tid, 1]
+    du, dv = tex.uv_offset[tid, 0], tex.uv_offset[tid, 1]
+    cu = jnp.floor(uv[..., 0] * su + du).astype(jnp.int32)
+    cv = jnp.floor(uv[..., 1] * sv + dv).astype(jnp.int32)
+    checker_first = ((cu + cv) % 2) == 0
+
+    # resolve one level of nesting at a time (bounded)
+    cur = tid
+    mult = jnp.ones(uv.shape[:-1] + (3,), Float)
+    for _ in range(MAX_TEX_DEPTH):
+        t = tex.ttype[cur]
+        is_checker = t == TEX_CHECKER
+        is_scale = t == TEX_SCALE
+        nxt = jnp.where(is_checker,
+                        jnp.where(checker_first, tex.sub_a[cur], tex.sub_b[cur]),
+                        jnp.where(is_scale, tex.sub_a[cur], cur))
+        mult = jnp.where(is_scale[..., None], mult * tex.value[cur], mult)
+        cur = nxt.astype(jnp.int32)
+
+    return mult * _leaf_value(tex, cur, uv, tex_lookup=tex_lookup)

@@ -1,0 +1,83 @@
+"""Furnace test: the statistical-estimator correctness gate.
+
+Mirrors reference ``tests/furnace.rs`` + ``testscenes/furnace_empty.pbrt``:
+camera inside an emitting sphere (L=1, ReverseOrientation) whose inside is
+matte with albedo ρ=0.5. Analytic solutions:
+
+- path tracing:        L = Σ ρ^k = 1/(1-ρ) = 2.0
+  (ε=0.1 with Russian roulette, ε≈0.001 without, furnace.rs:15-37)
+- direct lighting only: L = 1 + ρ = 1.5 (furnace.rs:52-56)
+"""
+import numpy as np
+import pytest
+
+from fountain_tpu.core import transform as tf
+from fountain_tpu.integrator.path import PathConfig
+from fountain_tpu.integrator.render import render
+from fountain_tpu.scene.build import SceneBuilder
+from fountain_tpu.scene.camera import make_perspective_camera
+
+
+def build_furnace_scene(albedo=0.5, emit=1.0):
+    b = SceneBuilder()
+    mat = b.add_matte(kd=[albedo] * 3, sigma=0.0)
+    sph = b.add_sphere(radius=100.0, mat_id=mat, reverse_orientation=True)
+    b.add_area_light_sphere(sph, [emit] * 3)
+    return b.build()
+
+
+def furnace_camera(res=16):
+    cam2world = tf.look_at([0.0, -2.0, 0.0], [0.0, 0.0, 0.0],
+                           [0.0, 0.0, 1.0])
+    return make_perspective_camera(cam2world, (res, res), fov_deg=60.0)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return build_furnace_scene()
+
+
+@pytest.fixture(scope="module")
+def camera():
+    return furnace_camera()
+
+
+def test_furnace_path_no_rr(scene, camera):
+    # furnace.rs:28-41: RR disabled -> tight tolerance
+    cfg = PathConfig(max_depth=10, rr_threshold=0.0, nee=True)
+    img = np.asarray(render(scene, camera, 16, 16, 128, cfg))
+    expected = 1.0 / (1.0 - 0.5)
+    assert np.all(np.isfinite(img))
+    np.testing.assert_allclose(img, expected, atol=0.01)
+
+
+def test_furnace_path_with_rr(scene, camera):
+    # furnace.rs:11-25: RR on -> some variance (256 spp here: our PCG4D
+    # stream differs from the reference Xoshiro; 128 spp leaves a ~3-sigma
+    # tail slightly past 0.1 on the max over 256 pixels)
+    cfg = PathConfig(max_depth=10, rr_threshold=1.0, nee=True)
+    img = np.asarray(render(scene, camera, 16, 16, 256, cfg))
+    np.testing.assert_allclose(img, 2.0, atol=0.1)
+
+
+def test_furnace_direct_lighting(scene, camera):
+    # furnace.rs:43-60: emitted + one NEE bounce = 1 + rho
+    cfg = PathConfig(max_depth=1, rr_threshold=0.0, nee=True)
+    img = np.asarray(render(scene, camera, 16, 16, 128, cfg))
+    np.testing.assert_allclose(img, 1.5, atol=0.01)
+
+
+def test_furnace_bsdf_sampling_only(scene, camera):
+    # NEE off, emission collected at every bounce: same analytic answer,
+    # zero variance in this scene (every bounce adds exactly rho^k * Le)
+    cfg = PathConfig(max_depth=20, rr_threshold=0.0, nee=False,
+                     emit_all_bounces=True)
+    img = np.asarray(render(scene, camera, 16, 16, 32, cfg))
+    np.testing.assert_allclose(img, 2.0, atol=0.01)
+
+
+def test_furnace_deterministic(scene, camera):
+    cfg = PathConfig(max_depth=5, rr_threshold=0.0, nee=True)
+    a = np.asarray(render(scene, camera, 16, 16, 4, cfg))
+    b = np.asarray(render(scene, camera, 16, 16, 4, cfg))
+    np.testing.assert_array_equal(a, b)

@@ -1,0 +1,81 @@
+"""`render` CLI: parse a .pbrt scene, render, write EXR/PNG.
+
+TPU-native analog of reference ``src/bin/render.rs``:
+  python -m fountain_tpu.cli.render scene.pbrt [-o out.exr] [--samples N]
+
+The reference's `-t/--threads` flag has no analog (parallelism is the
+device mesh); `--devices` shards across available chips instead.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="fountain-tpu render")
+    ap.add_argument("scene", help="PBRT scene file")
+    ap.add_argument("-o", "--output", default=None,
+                    help="output image (.exr/.png); default from Film stmt")
+    ap.add_argument("--samples", type=int, default=None,
+                    help="override samples per pixel (render.rs:28-29)")
+    ap.add_argument("--max-depth", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="shard the render across N devices")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fountain_tpu.integrator.path import PathConfig
+    from fountain_tpu.io.image import save_image
+    from fountain_tpu.io.pbrt import load_pbrt
+    from fountain_tpu.scene.film import (FILTER_BOX, FILTER_GAUSSIAN,
+                                         FILTER_TRIANGLE)
+
+    t0 = time.time()
+    scene, camera, st = load_pbrt(args.scene)
+    print(f"scene loaded in {time.time() - t0:.2f}s: "
+          f"{scene.spheres.count} spheres, {scene.triangles.count} tris, "
+          f"{scene.lights.count} lights", file=sys.stderr)
+
+    spp = args.samples or st.spp
+    max_depth = args.max_depth or st.max_depth
+    nee = st.integrator != "bsdf"
+    cfg = PathConfig(max_depth=max_depth, rr_threshold=1.0, nee=nee)
+    ftype = {"box": FILTER_BOX, "triangle": FILTER_TRIANGLE,
+             "gaussian": FILTER_GAUSSIAN}.get(st.filter_name, FILTER_BOX)
+
+    if args.devices > 1:
+        from fountain_tpu.parallel.shard import render_sharded
+        img_fn = lambda: render_sharded(
+            scene, camera, st.xres, st.yres, spp, cfg, n_devices=args.devices,
+            ftype=ftype, fradius=st.filter_radius, seed=jnp.int32(args.seed))
+    else:
+        from fountain_tpu.integrator.render import render
+        img_fn = lambda: render(scene, camera, st.xres, st.yres, spp, cfg,
+                                ftype=ftype, fradius=st.filter_radius,
+                                seed=jnp.int32(args.seed))
+
+    t0 = time.time()
+    img = np.asarray(jax.block_until_ready(img_fn()))
+    dt = time.time() - t0
+    n_paths = st.xres * st.yres * spp
+    print(f"Completed rendering in {dt:.2f} s "
+          f"({n_paths / dt:.3g} paths/s incl. compile)", file=sys.stderr)
+
+    out = args.output or st.output
+    save_image(out, img)
+    print(f"wrote {out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,8 +20,8 @@ from fountain_tpu.core import rng
 from fountain_tpu.core.vecmath import Float
 from fountain_tpu.integrator.path import DIM_CAMERA, PathConfig, trace_paths
 from fountain_tpu.scene.camera import PerspectiveCamera, generate_rays
-from fountain_tpu.scene.film import (FILTER_BOX, Film, add_samples, finalize,
-                                     make_film)
+from fountain_tpu.scene.film import (FILTER_BOX, Film, add_samples_aligned,
+                                     finalize, make_film)
 from fountain_tpu.scene.types import Scene
 
 
@@ -62,11 +62,16 @@ def render(scene: Scene, camera: PerspectiveCamera, xres: int, yres: int,
     """Render a full image [yres, xres, 3] with `spp` samples per pixel."""
     film = make_film(xres, yres)
 
+    lane = jnp.arange(xres * yres, dtype=jnp.int32)
+    pxy = jnp.stack([(lane % xres).astype(Float),
+                     (lane // xres).astype(Float)], axis=-1)
+
     def body(s, film: Film) -> Film:
         p_film, radiance = render_wave(scene, camera, xres, yres, s, cfg,
                                        seed=seed)
-        return add_samples(film, p_film, radiance, ftype=ftype,
-                           radius=fradius)
+        # full-frame lane-aligned layout -> scatter-free shifted-add splat
+        return add_samples_aligned(film, p_film - pxy, radiance, ftype=ftype,
+                                   radius=fradius)
 
     film = jax.lax.fori_loop(0, spp, body, film)
     return finalize(film)

@@ -1,0 +1,98 @@
+"""Pixel-sharded rendering over a JAX device mesh.
+
+TPU-native replacement for the reference's rayon tile parallelism
+(src/integrator/mod.rs:218-227 `into_par_iter`, film merge under a mutex
+film.rs:121-132):
+
+- the pixel-lane axis is sharded over a 1D mesh via ``shard_map`` (the
+  "data parallel" axis, SURVEY.md §2 parallelism table),
+- scene tables (BVH, textures, lights, params) are replicated in each
+  chip's HBM (per the north-star design),
+- each shard scatter-adds into a full-resolution film; films are summed
+  with ``psum`` over ICI — the collective analog of the tile merge,
+- the counter-based RNG keys off the *global* lane id, so the image is
+  bitwise independent of the device count (the reference gets the same
+  property from per-tile seeds, integrator/mod.rs:182-185).
+
+Gradients: because the whole thing is `shard_map`ped pure JAX, wrapping the
+sharded render in `jax.grad` gives parameter gradients all-reduced over ICI
+automatically (the psum transposes to a broadcast and parameter grads psum
+in the backward pass).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from fountain_tpu.integrator.path import PathConfig
+from fountain_tpu.integrator.render import render_wave
+from fountain_tpu.scene.camera import PerspectiveCamera
+from fountain_tpu.scene.film import (FILTER_BOX, Film, add_samples, finalize,
+                                     make_film)
+from fountain_tpu.scene.types import Scene
+
+try:  # JAX >= 0.8 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _sm
+    shard_map = _sm
+
+
+def make_render_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+    return Mesh(np.asarray(devs), ("batch",))
+
+
+def _shard_body(scene: Scene, camera: PerspectiveCamera, seed,
+                xres: int, yres: int, spp: int, cfg: PathConfig,
+                ftype: int, fradius: float, lanes_per: int):
+    """Per-device body: render this shard's pixel slice, psum films."""
+    shard = jax.lax.axis_index("batch")
+    film = make_film(xres, yres)
+
+    def body(s, film: Film) -> Film:
+        p_film, radiance = render_wave(
+            scene, camera, xres, yres, s, cfg, seed=seed,
+            lane_offset=shard * lanes_per, n_lanes=lanes_per)
+        return add_samples(film, p_film, radiance, ftype=ftype,
+                           radius=fradius)
+
+    film = jax.lax.fori_loop(0, spp, body, film)
+    film = jax.tree.map(lambda x: jax.lax.psum(x, "batch"), film)
+    return finalize(film)
+
+
+@partial(jax.jit,
+         static_argnames=("xres", "yres", "spp", "cfg", "ftype", "fradius",
+                          "n_devices"))
+def render_sharded(scene: Scene, camera: PerspectiveCamera, xres: int,
+                   yres: int, spp: int, cfg: PathConfig = PathConfig(),
+                   n_devices: Optional[int] = None, ftype: int = FILTER_BOX,
+                   fradius: float = 0.5, seed=0) -> jnp.ndarray:
+    """Render with pixels sharded across the device mesh.
+
+    The image equals the single-device `render` bitwise for radius<=0.5
+    filters (each pixel is owned by exactly one shard); wider filters
+    differ only by float addition order at shard boundaries.
+    """
+    mesh = make_render_mesh(n_devices)
+    n_dev = mesh.devices.size
+    total = xres * yres
+    lanes_per = -(-total // n_dev)  # shards pad; OOB lanes splat nowhere
+
+    fn = shard_map(
+        partial(_shard_body, xres=xres, yres=yres, spp=spp, cfg=cfg,
+                ftype=ftype, fradius=fradius, lanes_per=lanes_per),
+        mesh=mesh,
+        in_specs=(P(), P(), P()),   # scene/camera/seed replicated
+        out_specs=P(),              # film replicated after psum
+        check_vma=False,
+    )
+    return fn(scene, camera, jnp.asarray(seed, jnp.int32))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from fountain_tpu.core.vecmath import Float
@@ -62,25 +63,35 @@ def filter_weight(ftype: int, radius: float, dx, dy):
     return jnp.where(inside, w, 0.0)
 
 
+def _support_taps(radius: float) -> int:
+    """Half-width in pixels of the filter support around the containing
+    pixel: a pixel center at offset o can be within `radius` of a sample
+    in the base pixel iff |o| - 0.5 < radius -> K = ceil(radius - 0.5)."""
+    import math
+    return max(int(math.ceil(radius - 0.5 - 1e-6)), 0)
+
+
 def add_samples(film: Film, p_film: jnp.ndarray, radiance: jnp.ndarray,
                 ftype: int = FILTER_BOX, radius: float = 0.5) -> Film:
     """Splat samples at continuous raster positions p_film [N,2] with values
     radiance [N,3] (reference add_sample_to_tile film.rs:136-172).
 
-    The filter support window (discrete pixels within `radius` of the
-    sample) is enumerated statically: `ceil(radius - 0.5)*2 + 1` taps per
-    axis — 1 tap for the common radius<=0.5 case, 9 for radius<=1.5 etc.
+    The filter support window (discrete pixels whose center is within
+    `radius` of the sample) is enumerated statically around the pixel
+    containing the sample: 1 tap for radius<=0.5, 3x3 for radius<=1.5, etc.
     Each tap is a masked scatter-add; XLA fuses the taps.
+
+    NOTE: scatter-adds are expensive on TPU. When samples are lane-aligned
+    with pixels (the render driver's layout), use `add_samples_aligned`.
     """
     h, w = film.weight_sum.shape
-    # pbrt discrete/continuous convention: pixel (x, y) covers
-    # [x, x+1) x [y, y+1); its center is (x+0.5, y+0.5)
-    taps = int(jnp.ceil(radius - 0.5)) if radius > 0.5 else 0
+    taps = _support_taps(radius)
     rgb = film.rgb_sum.reshape(-1, 3)
     wsum = film.weight_sum.reshape(-1)
-    # discrete pixel of the sample
-    px0 = jnp.floor(p_film[..., 0] - 0.5)
-    py0 = jnp.floor(p_film[..., 1] - 0.5)
+    # pixel containing the sample (pbrt convention: pixel (x,y) covers
+    # [x,x+1)x[y,y+1), center (x+0.5, y+0.5))
+    px0 = jnp.floor(p_film[..., 0])
+    py0 = jnp.floor(p_film[..., 1])
     finite = jnp.all(jnp.isfinite(radiance), axis=-1)
     radiance = jnp.where(finite[..., None], radiance, 0.0)
     for oy in range(-taps, taps + 1):
@@ -97,6 +108,73 @@ def add_samples(film: Film, p_film: jnp.ndarray, radiance: jnp.ndarray,
             rgb = rgb.at[idx].add(fw[..., None] * radiance,
                                   mode="drop")
             wsum = wsum.at[idx].add(fw, mode="drop")
+    return Film(rgb_sum=rgb.reshape(h, w, 3), weight_sum=wsum.reshape(h, w))
+
+
+def add_samples_aligned(film: Film, frac: jnp.ndarray, radiance: jnp.ndarray,
+                        ftype: int = FILTER_BOX, radius: float = 0.5,
+                        lane_offset=0) -> Film:
+    """Scatter-free splat for the wavefront layout: lane i is the sample for
+    pixel (lane_offset + i) in row-major order, jittered by frac [N,2] in
+    [0,1)^2 within its pixel.
+
+    Every filter tap then lands at a *fixed* pixel offset (ox, oy) from the
+    lane's own pixel — a shifted dense add (pad + slice) instead of a
+    scatter. This is the TPU-shaped formulation of the reference's filter
+    splat (film.rs:136-172): pure VPU adds, no scatter sort.
+
+    Supports partial waves (lane_offset/n_lanes) for sharding: rows are
+    handled by flattening the film; a tap at (ox, oy) shifts the flat index
+    by oy*W + ox, exact for all rows (x-edge pixels are masked by fw=0
+    through the in-bounds test below).
+    """
+    h, w = film.weight_sum.shape
+    taps = _support_taps(radius)
+    n = frac.shape[0]
+    finite = jnp.all(jnp.isfinite(radiance), axis=-1)
+    radiance = jnp.where(finite[..., None], radiance, 0.0)
+
+    full_frame = (isinstance(lane_offset, int) and lane_offset == 0
+                  and n == h * w)
+    if taps > 0 and not full_frame:
+        # partial wave with a wide filter: generic scatter path
+        lane = lane_offset + jnp.arange(n, dtype=jnp.int32)
+        p_film = jnp.stack([(lane % w).astype(jnp.float32) + frac[..., 0],
+                            (lane // w).astype(jnp.float32) + frac[..., 1]],
+                           axis=-1)
+        return add_samples(film, p_film, radiance, ftype=ftype, radius=radius)
+
+    rgb = film.rgb_sum.reshape(-1, 3)
+    wsum = film.weight_sum.reshape(-1)
+    lane = lane_offset + jnp.arange(n, dtype=jnp.int32)
+    px = lane % w
+    py = lane // w
+
+    for oy in range(-taps, taps + 1):
+        for ox in range(-taps, taps + 1):
+            # offset of the tap pixel center from the sample position
+            dx = (ox + 0.5) - frac[..., 0]
+            dy = (oy + 0.5) - frac[..., 1]
+            fw = filter_weight(ftype, radius, dx, dy)
+            inb = ((px + ox >= 0) & (px + ox < w)
+                   & (py + oy >= 0) & (py + oy < h) & finite)
+            fw = jnp.where(inb, fw, 0.0)
+            contrib_rgb = fw[..., None] * radiance
+            if taps == 0:
+                # dense add over the lane window (identity mapping)
+                rgb = jax.lax.dynamic_update_slice(
+                    rgb, jax.lax.dynamic_slice(
+                        rgb, (lane_offset, 0), (n, 3)) + contrib_rgb,
+                    (lane_offset, 0))
+                wsum = jax.lax.dynamic_update_slice(
+                    wsum, jax.lax.dynamic_slice(
+                        wsum, (lane_offset,), (n,)) + fw, (lane_offset,))
+            else:
+                # full frame: target[j] = contrib[j - shift]; wrapped lanes
+                # already have fw = 0 via the x/y bounds mask
+                shift = oy * w + ox
+                rgb = rgb + jnp.roll(contrib_rgb, shift, axis=0)
+                wsum = wsum + jnp.roll(fw, shift, axis=0)
     return Film(rgb_sum=rgb.reshape(h, w, 3), weight_sum=wsum.reshape(h, w))
 
 

@@ -49,7 +49,10 @@ def main(argv=None) -> int:
     spp = args.samples or st.spp
     max_depth = args.max_depth or st.max_depth
     nee = st.integrator != "bsdf"
-    cfg = PathConfig(max_depth=max_depth, rr_threshold=1.0, nee=nee)
+    mode = {"directlighting": "direct", "whitted": "whitted"}.get(
+        st.integrator, "path")
+    cfg = PathConfig(max_depth=max_depth, rr_threshold=1.0, nee=nee,
+                     mode=mode)
     ftype = {"box": FILTER_BOX, "triangle": FILTER_TRIANGLE,
              "gaussian": FILTER_GAUSSIAN}.get(st.filter_name, FILTER_BOX)
 

@@ -163,6 +163,21 @@ def build_lbvh(bounds_min: np.ndarray, bounds_max: np.ndarray,
             meta_out, order)
 
 
+def pack_nodes(nodes_min: np.ndarray, nodes_max: np.ndarray,
+               meta: np.ndarray) -> np.ndarray:
+    """One 8-float row per node so a traversal step is a single row gather:
+    [min.xyz, max.xyz, bitcast(miss), bitcast(first<<3 | count)]."""
+    miss = meta[:, 0].astype(np.int32)
+    fc = ((meta[:, 1].astype(np.int64) << 3)
+          | meta[:, 2].astype(np.int64)).astype(np.int32)
+    assert int(meta[:, 1].max(initial=0)) < (1 << 28), "face count overflow"
+    assert int(meta[:, 2].max(initial=0)) <= 7, "leaf size must be <= 7"
+    return np.concatenate([
+        nodes_min.astype(np.float32), nodes_max.astype(np.float32),
+        miss.view(np.float32)[:, None], fc.view(np.float32)[:, None]],
+        axis=1)
+
+
 def attach_bvh(scene, leaf_size: int = LEAF_SIZE):
     """Build the LBVH for the scene's triangle table and return a scene with
     BVH arrays attached (faces reordered to leaf order)."""
@@ -191,7 +206,9 @@ def attach_bvh(scene, leaf_size: int = LEAF_SIZE):
         triangles=reordered,
         bvh_nodes_min=jnp.asarray(nodes_min),
         bvh_nodes_max=jnp.asarray(nodes_max),
-        bvh_meta=jnp.asarray(meta))
+        bvh_meta=jnp.asarray(meta),
+        bvh_nodes8=jnp.asarray(pack_nodes(nodes_min, nodes_max, meta)),
+        bvh_tri_verts=jnp.asarray(v[order]))
 
 
 # ---------------------------------------------------------------------------
@@ -212,14 +229,19 @@ def _slab_test(nmin, nmax, o, inv_d, t_best):
 
 
 def bvh_intersect(tris: Triangles, nodes_min, nodes_max, meta, o, d, t_max,
-                  any_hit: bool = False):
+                  any_hit: bool = False, nodes8=None, tri_verts=None):
     """Wavefront threaded-BVH traversal.
 
     Returns (t, face_idx, valid) for closest-hit, or (-, -, hit) bool for
     any_hit. Every lane carries (node_ptr, t_best, idx_best); the while
     loop runs until all lanes reach the end pointer M.
+
+    With `nodes8`/`tri_verts` (the packed layout from attach_bvh) each
+    traversal step costs ONE node-row gather and each leaf slot ONE
+    9-float row gather — the TPU-shaped memory layout; the unpacked path
+    is kept for oracle tests.
     """
-    m = meta.shape[0]
+    m = meta.shape[0] if nodes8 is None else nodes8.shape[0]
     n = o.shape[:-1]
     inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
 
@@ -233,11 +255,20 @@ def bvh_intersect(tris: Triangles, nodes_min, nodes_max, meta, o, d, t_max,
         ptr, t_best, i_best, found = carry
         active = ptr < m
         ptr_c = jnp.minimum(ptr, m - 1)
-        nmin = nodes_min[ptr_c]
-        nmax = nodes_max[ptr_c]
-        miss = meta[ptr_c, 0]
-        first = meta[ptr_c, 1]
-        count = meta[ptr_c, 2]
+        if nodes8 is not None:
+            row = nodes8[ptr_c]
+            nmin = row[..., 0:3]
+            nmax = row[..., 3:6]
+            miss = jax.lax.bitcast_convert_type(row[..., 6], jnp.int32)
+            fc = jax.lax.bitcast_convert_type(row[..., 7], jnp.int32)
+            first = fc >> 3
+            count = fc & 7
+        else:
+            nmin = nodes_min[ptr_c]
+            nmax = nodes_max[ptr_c]
+            miss = meta[ptr_c, 0]
+            first = meta[ptr_c, 1]
+            count = meta[ptr_c, 2]
 
         hit_box = _slab_test(nmin, nmax, o, inv_d, t_best) & active
         is_leaf = (count > 0) & hit_box
@@ -245,8 +276,11 @@ def bvh_intersect(tris: Triangles, nodes_min, nodes_max, meta, o, d, t_max,
         # test up to LEAF_SIZE prims, masked by slot < count
         for s in range(LEAF_SIZE):
             fidx = jnp.minimum(first + s, tris.count - 1)
-            i3 = tris.indices[fidx]
-            p = tris.positions[i3]
+            if tri_verts is not None:
+                p = tri_verts[fidx]
+            else:
+                i3 = tris.indices[fidx]
+                p = tris.positions[i3]
             t, _, _, _, ok = woop_intersect(
                 p[..., 0, :], p[..., 1, :], p[..., 2, :], o, d, t_best)
             ok = ok & is_leaf & (s < count)

@@ -188,13 +188,34 @@ def sphere_hit_info(sph: Spheres, idx: jnp.ndarray, o_w, d_w, t, valid):
     )
 
 
+def miss_hit(o_w, d_w) -> Hit:
+    """All-invalid Hit wave (e.g. for sphere-less scenes)."""
+    n = o_w.shape[:-1]
+    z3 = jnp.zeros(n + (3,), Float)
+    zi = jnp.zeros(n, jnp.int32)
+    up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], Float), n + (3,))
+    return Hit(valid=jnp.zeros(n, bool), t=jnp.full(n, jnp.inf, Float),
+               p=z3, p_err=z3, n=up, ns=up,
+               ss=jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], Float),
+                                   n + (3,)),
+               ts=jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], Float),
+                                   n + (3,)),
+               uv=jnp.zeros(n + (2,), Float), wo=normalize(-d_w),
+               prim_kind=zi, prim_id=zi, mat_id=zi - 1, light_id=zi - 1)
+
+
 def scene_intersect(scene: Scene, o_w, d_w, t_max) -> Hit:
     """Closest-hit over all primitive tables (reference Scene::intersect,
     src/scene/mod.rs:51-53). Currently spheres + triangles brute-force; BVH
     traversal replaces the triangle path once built (geometry.bvh)."""
-    t_s, idx_s, ok_s = intersect_spheres(scene.spheres, o_w, d_w, t_max)
-    hit = sphere_hit_info(scene.spheres, idx_s, o_w, d_w,
-                          jnp.where(ok_s, t_s, t_max), ok_s)
+    if scene.spheres.count == 0:
+        hit = miss_hit(o_w, d_w)
+        ok_s = hit.valid
+        t_s = hit.t
+    else:
+        t_s, idx_s, ok_s = intersect_spheres(scene.spheres, o_w, d_w, t_max)
+        hit = sphere_hit_info(scene.spheres, idx_s, o_w, d_w,
+                              jnp.where(ok_s, t_s, t_max), ok_s)
     if scene.triangles.count > 0:
         from fountain_tpu.geometry.triangle import (intersect_triangles,
                                                     triangle_hit_info)
@@ -203,7 +224,8 @@ def scene_intersect(scene: Scene, o_w, d_w, t_max) -> Hit:
             from fountain_tpu.geometry.bvh import bvh_intersect
             t_t, idx_t, ok_t = bvh_intersect(
                 scene.triangles, scene.bvh_nodes_min, scene.bvh_nodes_max,
-                scene.bvh_meta, o_w, d_w, cap)
+                scene.bvh_meta, o_w, d_w, cap,
+                nodes8=scene.bvh_nodes8, tri_verts=scene.bvh_tri_verts)
         else:
             t_t, idx_t, ok_t = intersect_triangles(scene.triangles, o_w, d_w,
                                                    cap)
@@ -233,7 +255,8 @@ def scene_intersect_any(scene: Scene, o_w, d_w, t_max) -> jnp.ndarray:
             from fountain_tpu.geometry.bvh import bvh_intersect
             _, _, tri_blocked = bvh_intersect(
                 scene.triangles, scene.bvh_nodes_min, scene.bvh_nodes_max,
-                scene.bvh_meta, o_w, d_w, t_max, any_hit=True)
+                scene.bvh_meta, o_w, d_w, t_max, any_hit=True,
+                nodes8=scene.bvh_nodes8, tri_verts=scene.bvh_tri_verts)
         else:
             from fountain_tpu.geometry.triangle import intersect_triangles_any
             tri_blocked = intersect_triangles_any(scene.triangles, o_w, d_w,

@@ -61,6 +61,12 @@ class PathConfig(NamedTuple):
     rr_threshold: float = 1.0
     nee: bool = True          # next-event estimation on (reference default)
     emit_all_bounces: bool = False  # BSDF-sampling-only mode (nee=False)
+    # "path": full path tracing (reference path.rs)
+    # "direct": direct lighting + specular recursion (direct_lighting.rs,
+    #           UniformSampleOne strategy)
+    # "whitted": all-lights direct, light-sampling only, + specular
+    #            recursion (whitted.rs)
+    mode: str = "path"
 
 
 def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
@@ -105,14 +111,16 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
     wi_b = detach(local_to_world(hit, bs.wi))
     f_b = bs.f * absdot(wi_b, hit.ns)[..., None]
     bsdf_ok = bs.valid & ~ls.is_delta & jnp.any(f_b > 0.0, -1) & ~bs.is_specular
-    lpdf_b = light_pdf(scene, light_idx, hit.p, wi_b)
-    bsdf_ok = bsdf_ok & (lpdf_b > 0.0)
-    weight_b = power_heuristic(1, detach(bs.pdf), 1, detach(lpdf_b))
 
-    # trace the BSDF-sampled ray; count light only if we hit THIS light
+    # trace the BSDF-sampled ray; count light only if we hit THIS light.
+    # Traced BEFORE the light-pdf query: mesh area lights derive their pdf
+    # from the hit (lights.light_pdf).
     o_b = spawn_ray(hit, wi_b)
     t_inf = jnp.where(bsdf_ok, jnp.inf, -1.0)
     hit_b = scene_intersect(scene, o_b, wi_b, t_inf)
+    lpdf_b = light_pdf(scene, light_idx, hit.p, wi_b, hit=hit_b)
+    bsdf_ok = bsdf_ok & (lpdf_b > 0.0)
+    weight_b = power_heuristic(1, detach(bs.pdf), 1, detach(lpdf_b))
     same_light = hit_b.valid & (hit_b.light_id == light_idx)
     li_surface = jnp.where(same_light[..., None],
                            emitted_radiance(scene, hit_b), 0.0)
@@ -130,8 +138,12 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
 
 
 def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
-                seed=0, detach_sampling: bool = True):
-    """Trace one camera-path per lane; returns radiance [N, 3].
+                seed=0, detach_sampling: bool = True,
+                count_rays: bool = False):
+    """Trace one camera-path per lane; returns radiance [N, 3]
+    (or (radiance, n_rays) with count_rays=True, where n_rays is the exact
+    number of useful rays traced: one closest-hit per active lane per bounce
+    plus shadow + MIS rays on NEE bounces — the benchmark accounting).
 
     o, d: camera ray origins/directions [N,3]; lane/sample: int arrays [N]
     feeding the counter-based RNG.
@@ -146,11 +158,16 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         radiance=jnp.zeros(n + (3,), jnp.float32),
         active=jnp.ones(n, bool),
         specular=jnp.zeros(n, bool),
+        n_rays=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64
+                         else jnp.int32),
     )
 
     def bounce_body(bounce, st):
         t_max = jnp.where(st["active"], jnp.inf, -1.0)
         hit = scene_intersect(scene, st["o"], st["d"], t_max)
+        if count_rays:
+            st["n_rays"] = st["n_rays"] + jnp.sum(
+                st["active"].astype(st["n_rays"].dtype))
 
         # --- emitted radiance (path.rs:43-51)
         gate = (bounce == 0) | st["specular"] | cfg.emit_all_bounces
@@ -168,7 +185,7 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         null_bsdf = alive & (sp.mtype < 0)
 
         # --- NEE (path.rs:60-64) on lanes with non-specular lobes
-        if cfg.nee and n_lights > 0:
+        if cfg.nee and n_lights > 0 and cfg.mode != "whitted":
             u_sel = rng.uniform4(lane, sample, bounce * _SLOTS + _SLOT_LIGHT,
                                  seed)
             u_sc = rng.uniform4(lane, sample, bounce * _SLOTS + _SLOT_SCATTER,
@@ -183,6 +200,44 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
             st["radiance"] = st["radiance"] + jnp.where(
                 nee_on[..., None],
                 st["beta"] * jnp.float32(n_lights) * direct, 0.0)
+            if count_rays:  # shadow ray + MIS-BSDF ray per NEE lane
+                st["n_rays"] = st["n_rays"] + 2 * jnp.sum(
+                    nee_on.astype(st["n_rays"].dtype))
+        elif n_lights > 0 and cfg.mode == "whitted":
+            # Whitted: loop over ALL lights, light sampling only, no MIS
+            # (reference whitted.rs:24-45)
+            u_sc = rng.uniform4(lane, sample, bounce * _SLOTS + _SLOT_LIGHT,
+                                seed)
+            nee_on = alive & has_non_specular(sp) & ~null_bsdf
+            wo_l_w = world_to_local(hit, hit.wo)
+            total = jnp.zeros_like(st["radiance"])
+            for i in range(n_lights):
+                li = jnp.full(lane.shape, i, jnp.int32)
+                ui = rng.uniform4(lane, sample,
+                                  bounce * _SLOTS + _SLOT_SCATTER, seed + i)
+                ls = sample_light(scene, li, hit.p, ui[0], ui[1])
+                wi_l = world_to_local(hit, detach(ls.wi))
+                f, _ = bsdf_f_pdf(sp, wo_l_w, wi_l)
+                f_cos = f * absdot(detach(ls.wi), hit.ns)[..., None]
+                ok = (detach(ls.pdf) > 0.0) & jnp.any(f_cos > 0.0, -1) \
+                    & jnp.any(ls.radiance > 0.0, -1)
+                o_sh = offset_ray_origin(hit.p, hit.p_err, hit.n,
+                                         detach(ls.wi))
+                target = jnp.where(
+                    (ls.is_infinite | ls.is_delta)[..., None], ls.p_light,
+                    offset_ray_origin(ls.p_light, ls.p_light_err,
+                                      ls.n_light, o_sh - ls.p_light))
+                t_sh = jnp.where(ok, 1.0 - SHADOW_EPSILON, -1.0)
+                occ = scene_intersect_any(scene, o_sh, target - o_sh, t_sh)
+                contrib = f_cos * ls.radiance \
+                    / jnp.maximum(detach(ls.pdf), 1e-12)[..., None]
+                total = total + jnp.where((ok & ~occ)[..., None], contrib,
+                                          0.0)
+            st["radiance"] = st["radiance"] + jnp.where(
+                nee_on[..., None], st["beta"] * total, 0.0)
+            if count_rays:
+                st["n_rays"] = st["n_rays"] + n_lights * jnp.sum(
+                    nee_on.astype(st["n_rays"].dtype))
 
         # --- BSDF sampling for continuation (path.rs:66-76)
         ub = rng.uniform4(lane, sample, bounce * _SLOTS + _SLOT_BSDF, seed)
@@ -207,6 +262,10 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
                                    jnp.where(alive, bs.is_specular,
                                              st["specular"]))
         alive = alive & (null_bsdf | f_ok)
+        if cfg.mode != "path":
+            # direct/whitted continue only through specular lobes
+            # (direct_lighting.rs:60-76, whitted.rs:47-66)
+            alive = alive & (null_bsdf | bs.is_specular)
 
         # --- Russian roulette (path.rs:84-91)
         if cfg.rr_threshold > 0.0:
@@ -226,4 +285,6 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         return st
 
     state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce_body, state)
+    if count_rays:
+        return state["radiance"], state["n_rays"]
     return state["radiance"]

@@ -118,7 +118,7 @@ class ParamSet:
         if name not in self.raw:
             return default
         ptype, vals = self.raw[name]
-        if ptype in ("integer", "float", "string", "bool"):
+        if ptype in ("integer", "float", "string", "bool", "texture"):
             return vals[0] if len(vals) == 1 else vals
         return vals
 
@@ -245,7 +245,6 @@ class PbrtParser:
         self.gs_stack: List[GraphicsState] = []
         self.in_world = False
         self._image_cache: Dict[str, int] = {}
-        self.images: List[np.ndarray] = []   # raw image payloads for mipmaps
         self.image_paths: List[str] = []
 
     # -- public entry
@@ -484,9 +483,8 @@ class PbrtParser:
         if path not in self._image_cache:
             from fountain_tpu.io.image import load_image
             img = load_image(path)
-            self.images.append(img)
             self.image_paths.append(path)
-            self._image_cache[path] = len(self.images) - 1
+            self._image_cache[path] = self.builder.add_image(img)
         return self.builder.add_image_texture(
             self._image_cache[path],
             uscale=float(p.get("uscale", 1.0)),

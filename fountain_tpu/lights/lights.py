@@ -20,13 +20,55 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from fountain_tpu.core import transform as tf
-from fountain_tpu.core.sampling import uniform_sample_sphere
-from fountain_tpu.core.vecmath import (Float, PI, distance_sq, dot, gamma,
-                                       length, normalize)
+from fountain_tpu.core.sampling import (pdf_distribution_2d,
+                                        sample_distribution_2d,
+                                        uniform_sample_sphere,
+                                        uniform_sample_triangle)
+from fountain_tpu.core.vecmath import (Float, PI, cross, distance_sq, dot,
+                                       gamma, length, normalize)
 from fountain_tpu.geometry.intersect import Hit
 from fountain_tpu.scene.types import (LIGHT_AREA_SPHERE, LIGHT_AREA_TRI,
                                       LIGHT_DISTANT, LIGHT_INFINITE,
                                       LIGHT_POINT, Scene)
+
+INV_2PI = 1.0 / (2.0 * PI)
+INV_PI = 1.0 / PI
+
+
+# --- env map direction <-> uv (single source of truth) ----------------------
+# Equirect convention: theta from +z (zenith), phi from +x around z.
+# v = 1 - theta/pi because images are stored bottom-row-first (io.image
+# flip_y), so the top of the picture (v=1) is the zenith.
+
+
+def dir_to_env_uv(d):
+    theta = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0))
+    phi = jnp.arctan2(d[..., 1], d[..., 0])
+    phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
+    return phi * INV_2PI, 1.0 - theta * INV_PI
+
+
+def env_uv_to_dir(u, v):
+    theta = PI * (1.0 - v)
+    phi = 2.0 * PI * u
+    sin_t = jnp.sin(theta)
+    return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+                      jnp.cos(theta)], axis=-1), sin_t
+
+
+def _scene_tex_lookup(scene: Scene):
+    if scene.env_images is None:
+        return None
+    from fountain_tpu.shading.mipmap import lookup_trilinear
+    return lambda iid, u, v: lookup_trilinear(scene.env_images, iid, u, v)
+
+
+def _eval_env_tex(scene: Scene, tex_id, u, v):
+    """Evaluate an env radiance texture id at env uv (batched)."""
+    from fountain_tpu.shading.textures import eval_texture
+    uv = jnp.stack([u, v], axis=-1)
+    return eval_texture(scene.textures, tex_id, uv,
+                        tex_lookup=_scene_tex_lookup(scene))
 
 
 class LightSample(NamedTuple):
@@ -52,21 +94,26 @@ def emitted_radiance(scene: Scene, hit: Hit) -> jnp.ndarray:
     return jnp.where(on[..., None], emit, 0.0)
 
 
-def environment_radiance(scene: Scene, d: jnp.ndarray,
-                         env_lookup=None) -> jnp.ndarray:
+def environment_radiance(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:
     """Total radiance from infinite lights for escaped rays in direction d
     (reference Scene::environment_emitted_radiance scene/mod.rs:59-64 sums
     over all lights; InfiniteAreaLight::environment_emitted_radiance
-    infinite.rs:156-164)."""
+    infinite.rs:156-164). Env-mapped lights evaluate their radiance texture
+    at the equirect uv of d."""
     lt = scene.lights
     if lt.count == 0:
         return jnp.zeros(d.shape[:-1] + (3,), Float)
+    dn = normalize(d)
+    u, v = dir_to_env_uv(dn)
     total = jnp.zeros(d.shape[:-1] + (3,), Float)
     for i in range(lt.count):  # L is tiny & static; unrolled
         is_inf = lt.ltype[i] == LIGHT_INFINITE
-        radiance = lt.emit[i]
-        if env_lookup is not None:
-            radiance = radiance * env_lookup(i, d)
+        radiance = jnp.broadcast_to(lt.emit[i], d.shape[:-1] + (3,))
+        if scene.env_images is not None:
+            has_env = lt.env_tex[i] >= 0
+            tex_rgb = _eval_env_tex(
+                scene, jnp.broadcast_to(lt.env_tex[i], u.shape), u, v)
+            radiance = jnp.where(has_env, radiance * tex_rgb, radiance)
         total = total + jnp.where(is_inf, radiance, 0.0)
     return total
 
@@ -93,12 +140,11 @@ def _sphere_area(scene: Scene, sphere_idx):
 
 
 def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
-                 u1, u2, env_sample=None) -> LightSample:
+                 u1, u2) -> LightSample:
     """Sample incident illumination from per-lane light `light_idx`
     (reference Light::sample_incident_radiance implementations).
 
-    `env_sample(light_idx, u1, u2) -> (wi, pdf, radiance)` hook is provided
-    by the env-map layer for importance-sampled infinite lights; without it
+    Env-mapped infinite lights importance-sample scene.env_dist; plain
     infinite lights use uniform-sphere directions.
     """
     lt = scene.lights
@@ -136,17 +182,30 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
     pdf = jnp.where(sel, 1.0, pdf)
     p_light = jnp.where(sel[..., None], p_out, p_light)
 
-    # --- infinite light, uniform variant (infinite.rs:42-61): uniform
-    # direction; endpoint at 2 * world radius (infinite.rs:121-129)
+    # --- infinite light (infinite.rs:42-61 uniform / :99-140 env-mapped):
+    # endpoint at 2 * world radius (infinite.rs:121-129)
     sel = ltype == LIGHT_INFINITE
     wi_u = uniform_sample_sphere(u1, u2)
     pdf_u = jnp.full(n, 1.0 / (4.0 * PI), Float)
     rad_u = jnp.broadcast_to(emit, n + (3,))
-    if env_sample is not None:
-        wi_e, pdf_e, rad_e = env_sample(li, u1, u2)
+    if scene.env_dist is not None:
+        # importance-sample the luminance*sin(theta) 2D CDF
+        # (infinite.rs:99-119; pdf /= 2 pi^2 sin(theta))
+        ue, ve, pdf_uv = sample_distribution_2d(scene.env_dist, u1, u2)
+        wi_e, sin_t = env_uv_to_dir(ue, ve)
+        pdf_e = jnp.where(sin_t > 0.0,
+                          pdf_uv / (2.0 * PI * PI * jnp.maximum(sin_t, 1e-9)),
+                          0.0)
+        rad_e = emit * _eval_env_tex(scene, lt.env_tex[li], ue, ve)
         has_env = lt.env_tex[li] >= 0
         wi_u = jnp.where(has_env[..., None], wi_e, wi_u)
         pdf_u = jnp.where(has_env, pdf_e, pdf_u)
+        rad_u = jnp.where(has_env[..., None], rad_e, rad_u)
+    elif scene.env_images is not None:
+        # image-mapped env without a distribution: uniform dirs, textured L
+        u_env, v_env = dir_to_env_uv(wi_u)
+        rad_e = emit * _eval_env_tex(scene, lt.env_tex[li], u_env, v_env)
+        has_env = lt.env_tex[li] >= 0
         rad_u = jnp.where(has_env[..., None], rad_e, rad_u)
     p_inf = ref_p + wi_u * (2.0 * scene.world_radius)
     wi = jnp.where(sel[..., None], wi_u, wi)
@@ -175,19 +234,80 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
         p_light_err = jnp.where(sel[..., None], p_s_err, p_light_err)
         n_light = jnp.where(sel[..., None], n_s, n_light)
 
+    # --- diffuse area light on a triangle mesh (diffuse.rs:74-90 +
+    # Triangle::sample triangle.rs:395-420): face chosen ∝ area via the
+    # per-light CDF, uniform barycentric point, pdf = d²/(|cosθ|·totalArea)
+    sel = ltype == LIGHT_AREA_TRI
+    if scene.triangles.count > 0 and scene.tri_area_cdf is not None:
+        tris = scene.triangles
+        start = lt.tri_start[li]
+        count = jnp.maximum(lt.tri_count[li], 1)
+        face = _search_cdf_range(scene.tri_area_cdf, u1, start, count)
+        i0, i1, i2 = (tris.indices[face, 0], tris.indices[face, 1],
+                      tris.indices[face, 2])
+        p0, p1, p2 = (tris.positions[i0], tris.positions[i1],
+                      tris.positions[i2])
+        # re-derive the barycentric u from the CDF remainder so the pair
+        # (u1, u2) gives a well-stratified point: use (u2, u1') with u1'
+        # the within-face residual
+        c_lo = jnp.where(face > start, scene.tri_area_cdf[face - 1], 0.0)
+        c_hi = scene.tri_area_cdf[face]
+        resid = jnp.clip((u1 - c_lo)
+                         / jnp.maximum(c_hi - c_lo, 1e-12), 0.0, 1.0)
+        b0, b1 = uniform_sample_triangle(resid, u2)
+        b2 = 1.0 - b0 - b1
+        p_t = (b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2)
+        p_t_err = gamma(6) * (jnp.abs(b0[..., None] * p0)
+                              + jnp.abs(b1[..., None] * p1)
+                              + jnp.abs(b2[..., None] * p2))
+        n_t = normalize(cross(p1 - p0, p2 - p0))
+        n_t = jnp.where(tris.flip_normal[face][..., None], -n_t, n_t)
+        d_t = p_t - ref_p
+        d2 = jnp.maximum(dot(d_t, d_t), 1e-20)
+        wi_t = d_t / jnp.sqrt(d2)[..., None]
+        cos_l = dot(n_t, -wi_t)
+        area = jnp.maximum(lt.area[li], 1e-20)
+        pdf_t = jnp.where(jnp.abs(cos_l) > 1e-8,
+                          d2 / (jnp.abs(cos_l) * area), 0.0)
+        rad_t = jnp.where((cos_l > 0.0)[..., None], emit, 0.0)
+        degenerate = d2 < 1e-16
+        wi = jnp.where(sel[..., None], wi_t, wi)
+        radiance = jnp.where((sel & ~degenerate)[..., None], rad_t,
+                             jnp.where(sel[..., None], 0.0, radiance))
+        pdf = jnp.where(sel, jnp.where(degenerate, 0.0, pdf_t), pdf)
+        p_light = jnp.where(sel[..., None], p_t, p_light)
+        p_light_err = jnp.where(sel[..., None], p_t_err, p_light_err)
+        n_light = jnp.where(sel[..., None], n_t, n_light)
+
     return LightSample(radiance=radiance, wi=wi, pdf=pdf, p_light=p_light,
                        p_light_err=p_light_err, n_light=n_light,
                        is_delta=is_delta, is_infinite=is_infinite)
 
 
+def _search_cdf_range(cdf: jnp.ndarray, u, lo, n):
+    """First index f in [lo, lo+n) with cdf[f] >= u, via bounded bisection
+    (traced bounds; 21 static steps supports 2M faces per light)."""
+    lo_i = jnp.broadcast_to(lo, u.shape).astype(jnp.int32)
+    hi_i = (lo_i + jnp.broadcast_to(n, u.shape) - 1).astype(jnp.int32)
+    lo0, hi0 = lo_i, hi_i
+    for _ in range(21):
+        mid = (lo_i + hi_i) // 2
+        go_right = cdf[mid] < u
+        lo_i = jnp.where(go_right, mid + 1, lo_i)
+        hi_i = jnp.where(go_right, hi_i, mid)
+    return jnp.clip(lo_i, lo0, hi0)
+
+
 def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
-              wi: jnp.ndarray, env_pdf=None) -> jnp.ndarray:
+              wi: jnp.ndarray, hit: Hit = None) -> jnp.ndarray:
     """Solid-angle pdf that `sample_light` would pick direction wi
     (reference Light::pdf_incident_radiance).
 
-    Delta lights: 0. Uniform infinite: 1/4π. Area sphere: first-hit
+    Delta lights: 0. Uniform infinite: 1/4π (env-mapped: CDF pdf with the
+    sin-θ Jacobian, infinite.rs:142-154). Area sphere: first-hit
     distance²/(|cosθ|·area) via analytic sphere intersection
-    (shapes/mod.rs:87-97).
+    (shapes/mod.rs:87-97). Area mesh: needs the already-traced hit of the
+    scene along wi (`hit`); 0 when absent.
     """
     lt = scene.lights
     n = ref_p.shape[:-1]
@@ -197,10 +317,29 @@ def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
 
     sel = ltype == LIGHT_INFINITE
     pdf_inf = jnp.full(n, 1.0 / (4.0 * PI), Float)
-    if env_pdf is not None:
+    if scene.env_dist is not None:
+        wn = normalize(wi)
+        u_env, v_env = dir_to_env_uv(wn)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - wn[..., 2] ** 2, 0.0))
+        pdf_uv = pdf_distribution_2d(scene.env_dist, u_env, v_env)
+        pdf_env = jnp.where(sin_t > 0.0,
+                            pdf_uv / (2.0 * PI * PI
+                                      * jnp.maximum(sin_t, 1e-9)), 0.0)
         has_env = lt.env_tex[li] >= 0
-        pdf_inf = jnp.where(has_env, env_pdf(li, wi), pdf_inf)
+        pdf_inf = jnp.where(has_env, pdf_env, pdf_inf)
     pdf = jnp.where(sel, pdf_inf, pdf)
+
+    # --- mesh area light: convert from the traced hit (the MIS BSDF branch
+    # always has one; the conversion d²/(|cosθ|·area) matches sample_light)
+    if hit is not None:
+        sel_t = ltype == LIGHT_AREA_TRI
+        same = hit.valid & (hit.light_id == li)
+        d2 = distance_sq(ref_p, hit.p)
+        cos_l = jnp.abs(dot(hit.n, -normalize(wi)))
+        area = jnp.maximum(lt.area[li], 1e-20)
+        pdf_t = jnp.where(same & (cos_l > 1e-8),
+                          d2 / (cos_l * area), 0.0)
+        pdf = jnp.where(sel_t, pdf_t, pdf)
 
     if scene.spheres.count > 0:
         from fountain_tpu.geometry.intersect import (intersect_spheres,

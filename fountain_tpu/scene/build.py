@@ -31,8 +31,18 @@ class SceneBuilder:
         self._mat = []
         self._lights = []
         self._tri_meshes = []    # (positions, indices, normals, uv, mat, light, flip)
+        self._images = []        # raw [H,W,3] float32 payloads (mipmap source)
+        self._image_wraps = []
         # texture id 0 is reserved "black" so -1-ish defaults stay harmless
         self.add_constant_texture([0.0, 0.0, 0.0])
+
+    # --- images -----------------------------------------------------------
+
+    def add_image(self, img, wrap: int = 0) -> int:
+        """Register a raw [H,W,3] linear image; returns its atlas id."""
+        self._images.append(np.asarray(img, np.float32))
+        self._image_wraps.append(int(wrap))
+        return len(self._images) - 1
 
     # --- textures ---------------------------------------------------------
 
@@ -301,11 +311,36 @@ class SceneBuilder:
             image_id=jnp.asarray([r["image_id"] for r in self._tex],
                                  jnp.int32))
 
+        # world-space per-face areas + within-light CDFs (reference
+        # Distribution1D over shape areas; here contiguous face ranges)
+        tri_area_cdf = None
+        face_area = None
+        if self._tri_meshes:
+            pos_all = np.concatenate([m["positions"]
+                                      for m in self._tri_meshes])
+            idx_all = np.concatenate(
+                [m["indices"] + off for m, off in zip(
+                    self._tri_meshes,
+                    np.cumsum([0] + [len(m["positions"])
+                                     for m in self._tri_meshes])[:-1])])
+            e1 = pos_all[idx_all[:, 1]] - pos_all[idx_all[:, 0]]
+            e2 = pos_all[idx_all[:, 2]] - pos_all[idx_all[:, 0]]
+            face_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+            cdf = np.zeros(len(face_area), np.float32)
+
         if self._lights:
             lt = self._lights
             for lid, (start, cnt) in tri_light_ranges.items():
                 lt[lid]["tri_start"] = start
                 lt[lid]["tri_count"] = cnt
+                seg = face_area[start:start + cnt]
+                total = max(float(seg.sum()), 1e-20)
+                lt[lid]["area"] = total
+                cdf[start:start + cnt] = np.cumsum(seg) / total
+            for r in lt:
+                if r["ltype"] == LIGHT_AREA_SPHERE:
+                    sp = self._spheres[r["shape_id"]]
+                    r["area"] = 4.0 * np.pi * sp["radius"] ** 2
             lights = Lights(
                 ltype=jnp.asarray([r["ltype"] for r in lt], jnp.int32),
                 emit=jnp.asarray([r["emit"] for r in lt], jnp.float32),
@@ -316,10 +351,14 @@ class SceneBuilder:
                                       jnp.int32),
                 tri_count=jnp.asarray([r["tri_count"] for r in lt],
                                       jnp.int32),
-                env_tex=jnp.asarray([r["env_tex"] for r in lt], jnp.int32))
+                env_tex=jnp.asarray([r["env_tex"] for r in lt], jnp.int32),
+                area=jnp.asarray([r.get("area", 0.0) for r in lt],
+                                 jnp.float32))
         else:
             from fountain_tpu.scene.types import no_lights
             lights = no_lights()
+        if face_area is not None:
+            tri_area_cdf = jnp.asarray(cdf, jnp.float32)
 
         # world bounds (reference Scene::new light preprocess,
         # scene/mod.rs:32-49 / infinite.rs:93-97)
@@ -341,8 +380,59 @@ class SceneBuilder:
         center = (lo + hi) / 2.0
         radius = float(np.linalg.norm(hi - center))
 
+        # image atlas + env-map importance distribution
+        atlas = None
+        env_dist = None
+        if self._images:
+            from fountain_tpu.shading.mipmap import build_atlas
+            atlas = build_atlas(self._images, self._image_wraps)
+            env_img_id = self._env_image_id()
+            if env_img_id is not None:
+                from fountain_tpu.core.sampling import make_distribution_2d
+                img = self._images[env_img_id]
+                # luminance * sin(theta) (reference infinite.rs:63-77);
+                # row 0 is the image bottom (v=0) => theta = pi*(1 - v)
+                lum = (0.212671 * img[..., 0] + 0.715160 * img[..., 1]
+                       + 0.072169 * img[..., 2])
+                # Radiance lookups bilerp the map, spreading each texel's
+                # energy over a 2x2-texel tent; convolve the sampling
+                # density with the per-texel tent integrals [1/8, 3/4, 1/8]
+                # so pdf > 0 wherever the bilerped radiance is > 0 (keeps
+                # the light-sampling estimator unbiased even for
+                # delta-texel maps).
+                k = np.array([0.125, 0.75, 0.125], np.float32)
+                pad = np.concatenate(  # wrap in u (azimuthal seam)
+                    [lum[:, -1:], lum, lum[:, :1]], axis=1)
+                lum_u = (k[0] * pad[:, :-2] + k[1] * pad[:, 1:-1]
+                         + k[2] * pad[:, 2:])
+                pad = np.concatenate(  # clamp in v (poles)
+                    [lum_u[:1], lum_u, lum_u[-1:]], axis=0)
+                lum_b = (k[0] * pad[:-2] + k[1] * pad[1:-1] + k[2] * pad[2:])
+                h = img.shape[0]
+                v = (np.arange(h, dtype=np.float32) + 0.5) / h
+                sin_t = np.sin(np.pi * (1.0 - v))
+                env_dist = make_distribution_2d(
+                    jnp.asarray(lum_b * sin_t[:, None], jnp.float32))
+
         return Scene(
             spheres=spheres, triangles=triangles, materials=materials,
             textures=textures, lights=lights,
             world_center=jnp.asarray(center, jnp.float32),
-            world_radius=jnp.asarray(max(radius, 1e-3), jnp.float32))
+            world_radius=jnp.asarray(max(radius, 1e-3), jnp.float32),
+            tri_area_cdf=tri_area_cdf, env_images=atlas, env_dist=env_dist)
+
+    def _env_image_id(self):
+        """Image id backing the first env-mapped infinite light (resolving
+        scale/checker nesting to the underlying TEX_IMAGE), or None."""
+        for r in self._lights:
+            if r["ltype"] == LIGHT_INFINITE and r["env_tex"] >= 0:
+                tid = r["env_tex"]
+                for _ in range(4):
+                    row = self._tex[tid]
+                    if row["ttype"] == TEX_IMAGE:
+                        return row["image_id"]
+                    if row["ttype"] == TEX_SCALE:
+                        tid = row["sub_a"]
+                        continue
+                    break
+        return None

@@ -169,6 +169,7 @@ class Lights(NamedTuple):
     tri_start: jnp.ndarray  # [L] int32: first face for AREA_TRI
     tri_count: jnp.ndarray  # [L] int32
     env_tex: jnp.ndarray  # [L] int32 texture id for infinite light radiance map
+    area: jnp.ndarray     # [L] total surface area (area lights; else 0)
 
     @property
     def count(self) -> int:
@@ -179,7 +180,8 @@ def no_lights() -> Lights:
     z3 = jnp.zeros((0, 3), jnp.float32)
     zi = jnp.zeros((0,), jnp.int32)
     return Lights(ltype=zi, emit=z3, pos=z3, dir=z3, shape_id=zi,
-                  tri_start=zi, tri_count=zi, env_tex=zi)
+                  tri_start=zi, tri_count=zi, env_tex=zi,
+                  area=jnp.zeros((0,), jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -205,8 +207,20 @@ class Scene(NamedTuple):
     bvh_nodes_min: Optional[jnp.ndarray] = None   # [N,3]
     bvh_nodes_max: Optional[jnp.ndarray] = None   # [N,3]
     bvh_meta: Optional[jnp.ndarray] = None        # [N,3] int32 (see geometry.bvh)
-    tri_area_cdf: Optional[jnp.ndarray] = None    # [F+?] per-light face CDFs
-    env_images: Optional[tuple] = None            # image atlas pytree (mipmaps)
+    # packed traversal layout (geometry.bvh.pack_nodes): one 8-float row per
+    # node = (min, max, bitcast miss, bitcast first<<3|count) -> a single
+    # gather per traversal step; tri verts pre-gathered to leaf order so a
+    # leaf slot is one 9-float row gather instead of index+3 vert gathers
+    bvh_nodes8: Optional[jnp.ndarray] = None      # [N,8] f32
+    bvh_tri_verts: Optional[jnp.ndarray] = None   # [F,3,3] f32
+    # per-face within-light cumulative-area CDF for AREA_TRI sampling
+    # (normalized inside each light's [tri_start, tri_start+tri_count) range)
+    tri_area_cdf: Optional[jnp.ndarray] = None    # [F]
+    env_images: Optional[tuple] = None            # shading.mipmap.ImageAtlas
+    # env-map importance sampling (reference infinite.rs:63-77): one
+    # Distribution2D over luminance*sin(theta), shared by every infinite
+    # light that has an image (env_tex >= 0); uniform fallback otherwise
+    env_dist: Optional[tuple] = None              # core.sampling.Distribution2D
 
     @property
     def n_lights(self) -> int:

@@ -63,6 +63,10 @@ def gather_shading(scene: Scene, hit: Hit, tex_lookup=None) -> ShadeParams:
     mid = jnp.clip(hit.mat_id, 0, max(m.count - 1, 0))
     uv = hit.uv
     tex = scene.textures
+    if tex_lookup is None and scene.env_images is not None:
+        from fountain_tpu.shading.mipmap import lookup_trilinear
+        atlas = scene.env_images
+        tex_lookup = lambda iid, u, v: lookup_trilinear(atlas, iid, u, v)
     ev = lambda tid: eval_texture(tex, tid, uv, tex_lookup=tex_lookup)
 
     kd = ev(m.kd_tex[mid])

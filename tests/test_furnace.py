@@ -67,6 +67,22 @@ def test_furnace_direct_lighting(scene, camera):
     np.testing.assert_allclose(img, 1.5, atol=0.01)
 
 
+def test_furnace_direct_mode(scene, camera):
+    # mode="direct" (reference direct_lighting.rs UniformSampleOne): same
+    # 1 + rho = 1.5 regardless of max_depth (no diffuse recursion)
+    cfg = PathConfig(max_depth=5, rr_threshold=0.0, nee=True, mode="direct")
+    img = np.asarray(render(scene, camera, 16, 16, 64, cfg))
+    np.testing.assert_allclose(img, 1.5, atol=0.01)
+
+
+def test_furnace_whitted_mode(scene, camera):
+    # mode="whitted" (reference whitted.rs): all-lights direct, no MIS;
+    # furnace enclosure -> 1 + rho = 1.5 exactly
+    cfg = PathConfig(max_depth=5, rr_threshold=0.0, mode="whitted")
+    img = np.asarray(render(scene, camera, 16, 16, 64, cfg))
+    np.testing.assert_allclose(img, 1.5, atol=0.01)
+
+
 def test_furnace_bsdf_sampling_only(scene, camera):
     # NEE off, emission collected at every bounce: same analytic answer,
     # zero variance in this scene (every bounce adds exactly rho^k * Le)

@@ -73,6 +73,12 @@ def main():
     n_timed = args.steps or (CPU_N_TIMED if args.cpu else N_TIMED)
 
     import jax
+    try:  # persistent compile cache: axon remote compiles are minutes-slow
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/fountain_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from fountain_tpu.integrator.path import PathConfig, trace_paths

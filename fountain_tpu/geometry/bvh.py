@@ -73,11 +73,19 @@ def morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
 def build_lbvh(bounds_min: np.ndarray, bounds_max: np.ndarray,
                leaf_size: int = LEAF_SIZE
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Build the threaded LBVH over primitive AABBs (host, numpy).
+    """Build the threaded LBVH over primitive AABBs (host).
 
+    Uses the native C++ builder (fountain_tpu.native, the analog of the
+    reference's native build bvh.rs:27-158) when available; the numpy/
+    python path below is the byte-identical fallback.
     Returns (nodes_min [M,3], nodes_max [M,3], meta [M,3], prim_order [F]).
     """
     f = len(bounds_min)
+    if f > 0:
+        from fountain_tpu import native
+        out = native.lbvh_build(bounds_min, bounds_max, leaf_size)
+        if out is not None:
+            return out
     centroids = (bounds_min + bounds_max) * 0.5
     lo = centroids.min(0)
     extent = np.maximum(centroids.max(0) - lo, 1e-12)
@@ -202,13 +210,18 @@ def attach_bvh(scene, leaf_size: int = LEAF_SIZE):
         light_id=tris.light_id[order],
         flip_normal=tris.flip_normal[order],
         mesh_id=tris.mesh_id[order])
+    from fountain_tpu.geometry.tensor_tri import (MAX_DENSE_FACES,
+                                                  build_tri_features)
+    feats = build_tri_features(v[order]) \
+        if tris.count <= MAX_DENSE_FACES else None
     return scene._replace(
         triangles=reordered,
         bvh_nodes_min=jnp.asarray(nodes_min),
         bvh_nodes_max=jnp.asarray(nodes_max),
         bvh_meta=jnp.asarray(meta),
         bvh_nodes8=jnp.asarray(pack_nodes(nodes_min, nodes_max, meta)),
-        bvh_tri_verts=jnp.asarray(v[order]))
+        bvh_tri_verts=jnp.asarray(v[order]),
+        tri_features=feats)
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,10 @@ class Hit(NamedTuple):
     prim_id: jnp.ndarray    # [N] int32
     mat_id: jnp.ndarray     # [N] int32 (-1 => null bsdf / pass-through)
     light_id: jnp.ndarray   # [N] int32 (-1 => not an emitter)
+    # world-to-uv conversion for ray-cone texture filtering (the TPU analog
+    # of reference compute_tex_differentials, interaction.rs:123-173):
+    # uv footprint = cone width at the hit * inv_uv_scale
+    inv_uv_scale: jnp.ndarray = None  # [N]
 
 
 def spawn_ray(hit: Hit, d: jnp.ndarray) -> jnp.ndarray:
@@ -178,6 +182,8 @@ def sphere_hit_info(sph: Spheres, idx: jnp.ndarray, o_w, d_w, t, valid):
     ts = jnp.where(bad, alt_ts, normalize(ts))
 
     wo = normalize(-d_w)
+    inv_uv = jnp.maximum(1.0 / jnp.maximum(length(dpdu_w), 1e-12),
+                         1.0 / jnp.maximum(length(dpdv_w), 1e-12))
     return Hit(
         valid=valid, t=t, p=p_w, p_err=p_err, n=n_w, ns=ns, ss=ss, ts=ts,
         uv=jnp.stack([u, v], axis=-1), wo=wo,
@@ -185,6 +191,7 @@ def sphere_hit_info(sph: Spheres, idx: jnp.ndarray, o_w, d_w, t, valid):
         prim_id=idx.astype(jnp.int32),
         mat_id=jnp.where(valid, g(sph.mat_id), -1).astype(jnp.int32),
         light_id=jnp.where(valid, g(sph.light_id), -1).astype(jnp.int32),
+        inv_uv_scale=inv_uv,
     )
 
 
@@ -201,7 +208,8 @@ def miss_hit(o_w, d_w) -> Hit:
                ts=jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], Float),
                                    n + (3,)),
                uv=jnp.zeros(n + (2,), Float), wo=normalize(-d_w),
-               prim_kind=zi, prim_id=zi, mat_id=zi - 1, light_id=zi - 1)
+               prim_kind=zi, prim_id=zi, mat_id=zi - 1, light_id=zi - 1,
+               inv_uv_scale=jnp.zeros(n, Float))
 
 
 def scene_intersect(scene: Scene, o_w, d_w, t_max) -> Hit:
@@ -220,7 +228,11 @@ def scene_intersect(scene: Scene, o_w, d_w, t_max) -> Hit:
         from fountain_tpu.geometry.triangle import (intersect_triangles,
                                                     triangle_hit_info)
         cap = jnp.where(ok_s, t_s, t_max)
-        if scene.bvh_meta is not None:
+        if scene.tri_features is not None:
+            from fountain_tpu.geometry.tensor_tri import mt_intersect
+            t_t, idx_t, ok_t = mt_intersect(scene.tri_features, o_w, d_w,
+                                            cap)
+        elif scene.bvh_meta is not None:
             from fountain_tpu.geometry.bvh import bvh_intersect
             t_t, idx_t, ok_t = bvh_intersect(
                 scene.triangles, scene.bvh_nodes_min, scene.bvh_nodes_max,
@@ -251,7 +263,11 @@ def scene_intersect_any(scene: Scene, o_w, d_w, t_max) -> jnp.ndarray:
     """Occlusion query (reference Scene::intersect_test, scene/mod.rs:55-57)."""
     blocked = intersect_spheres_any(scene.spheres, o_w, d_w, t_max)
     if scene.triangles.count > 0:
-        if scene.bvh_meta is not None:
+        if scene.tri_features is not None:
+            from fountain_tpu.geometry.tensor_tri import mt_intersect
+            _, _, tri_blocked = mt_intersect(scene.tri_features, o_w, d_w,
+                                             t_max, any_hit=True)
+        elif scene.bvh_meta is not None:
             from fountain_tpu.geometry.bvh import bvh_intersect
             _, _, tri_blocked = bvh_intersect(
                 scene.triangles, scene.bvh_nodes_min, scene.bvh_nodes_max,

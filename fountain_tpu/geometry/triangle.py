@@ -268,6 +268,9 @@ def triangle_hit_info(tris: Triangles, face_idx, o, d, t, valid) -> Hit:
     ts = cross(ns, ss)
 
     wo = normalize(-d)
+    inv_uv = jnp.maximum(1.0 / jnp.maximum(length(dpdu), 1e-12),
+                         1.0 / jnp.maximum(length(dpdv), 1e-12))
+    inv_uv = jnp.where(degen_uv, 0.0, inv_uv)
     return Hit(
         valid=valid, t=jnp.where(valid, t, jnp.inf), p=p, p_err=p_err,
         n=ng, ns=ns, ss=ss, ts=ts, uv=uv_hit, wo=wo,
@@ -275,4 +278,5 @@ def triangle_hit_info(tris: Triangles, face_idx, o, d, t, valid) -> Hit:
         prim_id=face_idx.astype(jnp.int32),
         mat_id=jnp.where(valid, tris.mat_id[face_idx], -1).astype(jnp.int32),
         light_id=jnp.where(valid, tris.light_id[face_idx], -1).astype(jnp.int32),
+        inv_uv_scale=inv_uv,
     )

@@ -139,7 +139,7 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
 
 def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
                 seed=0, detach_sampling: bool = True,
-                count_rays: bool = False):
+                count_rays: bool = False, cone_spread=None):
     """Trace one camera-path per lane; returns radiance [N, 3]
     (or (radiance, n_rays) with count_rays=True, where n_rays is the exact
     number of useful rays traced: one closest-hit per active lane per bounce
@@ -160,7 +160,12 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         specular=jnp.zeros(n, bool),
         n_rays=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64
                          else jnp.int32),
+        # ray-cone width for texture filtering (reference texture
+        # differentials, interaction.rs:123-173 → the cone approximation)
+        cone_width=jnp.zeros(n, jnp.float32),
     )
+    spread = jnp.zeros(n, jnp.float32) if cone_spread is None \
+        else jnp.broadcast_to(cone_spread, n)
 
     def bounce_body(bounce, st):
         t_max = jnp.where(st["active"], jnp.inf, -1.0)
@@ -181,7 +186,13 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         # --- terminate: escaped or depth cap (path.rs:53-56)
         alive = st["active"] & hit.valid & (bounce < cfg.max_depth)
 
-        sp = gather_shading(scene, hit)
+        # ray-cone footprint at the hit -> mipmap filter width in uv space
+        t_hit = jnp.where(hit.valid, hit.t, 0.0)
+        width_at_hit = st["cone_width"] + t_hit * spread
+        tex_width = width_at_hit * hit.inv_uv_scale
+        st["cone_width"] = jnp.where(alive, width_at_hit, st["cone_width"])
+
+        sp = gather_shading(scene, hit, tex_width=tex_width)
         null_bsdf = alive & (sp.mtype < 0)
 
         # --- NEE (path.rs:60-64) on lanes with non-specular lobes

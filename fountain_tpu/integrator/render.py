@@ -28,12 +28,14 @@ from fountain_tpu.scene.types import Scene
 def render_wave(scene: Scene, camera: PerspectiveCamera, xres: int,
                 yres: int, sample_idx, cfg: PathConfig, seed=0,
                 lane_offset: int = 0, n_lanes: Optional[int] = None,
-                detach_sampling: bool = True):
+                detach_sampling: bool = True, diff_scale: float = 1.0):
     """Trace one sample-per-pixel wave; returns (p_film [N,2], L [N,3]).
 
     Lanes cover pixels [lane_offset, lane_offset + n_lanes) in row-major
     order — the slicing hook used by the multi-chip sharding layer.
     ``seed`` may be a traced scalar (does not trigger recompilation).
+    ``diff_scale`` scales the texture-filter ray-cone spread (the
+    reference's scale_differentials 1/sqrt(spp), geometry/mod.rs:125-132).
     """
     total = xres * yres
     n_lanes = total if n_lanes is None else n_lanes
@@ -46,10 +48,16 @@ def render_wave(scene: Scene, camera: PerspectiveCamera, xres: int,
     p_lens = jnp.stack([u[2], u[3]], axis=-1)
     rays = generate_rays(camera, p_film, p_lens)
 
+    # per-lane cone spread from the camera differentials
+    sx = jnp.linalg.norm(rays.rx_d - rays.d, axis=-1)
+    sy = jnp.linalg.norm(rays.ry_d - rays.d, axis=-1)
+    spread = jnp.maximum(sx, sy) * diff_scale
+
     sample = jnp.full((n_lanes,), sample_idx, jnp.int32) \
         if jnp.ndim(sample_idx) == 0 else sample_idx
     radiance = trace_paths(scene, rays.o, rays.d, lane, sample, cfg,
-                           seed=seed, detach_sampling=detach_sampling)
+                           seed=seed, detach_sampling=detach_sampling,
+                           cone_spread=spread)
     return p_film, radiance
 
 
@@ -68,7 +76,8 @@ def render(scene: Scene, camera: PerspectiveCamera, xres: int, yres: int,
 
     def body(s, film: Film) -> Film:
         p_film, radiance = render_wave(scene, camera, xres, yres, s, cfg,
-                                       seed=seed)
+                                       seed=seed,
+                                       diff_scale=1.0 / max(spp, 1) ** 0.5)
         # full-frame lane-aligned layout -> scatter-free shifted-add splat
         return add_samples_aligned(film, p_film - pxy, radiance, ftype=ftype,
                                    radius=fradius)

@@ -556,6 +556,19 @@ class PbrtParser:
                 reverse_orientation=self.gs.reverse_orientation, o2w=self.ctm)
             if self.gs.area_light is not None:
                 b.add_area_light_mesh(mid, self.gs.area_light)
+        elif name == "loopsubdiv":
+            # full Loop subdivision (the reference's loop_subdiv.rs ends in
+            # unimplemented!; see geometry/loop_subdiv.py)
+            from fountain_tpu.geometry.loop_subdiv import loop_subdivide
+            positions = p.get_all_vec3("P")
+            indices = p.get_all_int("indices").reshape(-1, 3)
+            levels = int(p.get("levels", p.get("nlevels", 3)))
+            pos_s, idx_s, nrm_s = loop_subdivide(positions, indices, levels)
+            mid = b.add_triangle_mesh(
+                pos_s, idx_s, normals=nrm_s, mat_id=mat,
+                reverse_orientation=self.gs.reverse_orientation, o2w=self.ctm)
+            if self.gs.area_light is not None:
+                b.add_area_light_mesh(mid, self.gs.area_light)
         elif name == "plymesh":
             from fountain_tpu.io.ply import load_ply
             mesh = load_ply(os.path.join(self.base_dir, p.get("filename")))

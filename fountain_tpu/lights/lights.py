@@ -60,7 +60,8 @@ def _scene_tex_lookup(scene: Scene):
     if scene.env_images is None:
         return None
     from fountain_tpu.shading.mipmap import lookup_trilinear
-    return lambda iid, u, v: lookup_trilinear(scene.env_images, iid, u, v)
+    return lambda iid, u, v, w=None: lookup_trilinear(scene.env_images,
+                                                      iid, u, v, w)
 
 
 def _eval_env_tex(scene: Scene, tex_id, u, v):

@@ -213,6 +213,9 @@ class Scene(NamedTuple):
     # leaf slot is one 9-float row gather instead of index+3 vert gathers
     bvh_nodes8: Optional[jnp.ndarray] = None      # [N,8] f32
     bvh_tri_verts: Optional[jnp.ndarray] = None   # [F,3,3] f32
+    # dense MXU intersection features (geometry.tensor_tri): attached for
+    # scenes within the dense budget; preferred over the BVH walk on TPU
+    tri_features: Optional[tuple] = None          # tensor_tri.TriFeatures
     # per-face within-light cumulative-area CDF for AREA_TRI sampling
     # (normalized inside each light's [tri_start, tri_start+tri_count) range)
     tri_area_cdf: Optional[jnp.ndarray] = None    # [F]

@@ -53,11 +53,13 @@ class ShadeParams(NamedTuple):
     rough_raw: jnp.ndarray  # [N] pre-remap roughness (0 => smooth glass)
 
 
-def gather_shading(scene: Scene, hit: Hit, tex_lookup=None) -> ShadeParams:
+def gather_shading(scene: Scene, hit: Hit, tex_lookup=None,
+                   tex_width=None) -> ShadeParams:
     """Evaluate the material table + textures at the hit points.
 
     Analog of Material::compute_scattering_functions dispatch
-    (interaction.rs:111-121 → material/*.rs).
+    (interaction.rs:111-121 → material/*.rs). ``tex_width`` [N] is the
+    uv-space ray-cone footprint for mipmap filtering.
     """
     m = scene.materials
     mid = jnp.clip(hit.mat_id, 0, max(m.count - 1, 0))
@@ -66,8 +68,10 @@ def gather_shading(scene: Scene, hit: Hit, tex_lookup=None) -> ShadeParams:
     if tex_lookup is None and scene.env_images is not None:
         from fountain_tpu.shading.mipmap import lookup_trilinear
         atlas = scene.env_images
-        tex_lookup = lambda iid, u, v: lookup_trilinear(atlas, iid, u, v)
-    ev = lambda tid: eval_texture(tex, tid, uv, tex_lookup=tex_lookup)
+        tex_lookup = lambda iid, u, v, w=None: lookup_trilinear(
+            atlas, iid, u, v, w)
+    ev = lambda tid: eval_texture(tex, tid, uv, tex_lookup=tex_lookup,
+                                  width=tex_width)
 
     kd = ev(m.kd_tex[mid])
     ks = ev(m.ks_tex[mid])

@@ -22,7 +22,7 @@ from fountain_tpu.scene.types import (TEX_CHECKER, TEX_CONSTANT, TEX_IMAGE,
 MAX_TEX_DEPTH = 3
 
 
-def _leaf_value(tex: Textures, tid, uv, env_images=None, tex_lookup=None):
+def _leaf_value(tex: Textures, tid, uv, tex_lookup=None, width=None):
     """Evaluate non-nesting texture types for per-lane ids `tid` at `uv`."""
     ttype = tex.ttype[tid]
     value = tex.value[tid]
@@ -39,18 +39,20 @@ def _leaf_value(tex: Textures, tid, uv, env_images=None, tex_lookup=None):
     out = jnp.where((ttype == TEX_UV)[..., None], uv_rgb, out)
 
     if tex_lookup is not None:
-        img_rgb = tex_lookup(tex.image_id[tid], u, v)
+        w = None if width is None else width * jnp.maximum(su, sv)
+        img_rgb = tex_lookup(tex.image_id[tid], u, v, w)
         out = jnp.where((ttype == TEX_IMAGE)[..., None], img_rgb, out)
     return out
 
 
 def eval_texture(tex: Textures, tid: jnp.ndarray, uv: jnp.ndarray,
-                 tex_lookup=None) -> jnp.ndarray:
+                 tex_lookup=None, width=None) -> jnp.ndarray:
     """Evaluate texture ids [N] at uv [N,2] -> rgb [N,3].
 
-    ``tex_lookup(image_id, u, v) -> rgb`` is supplied by the mipmap layer
-    when the scene has image textures (kept as an injection point so this
-    module has no HBM image dependencies).
+    ``tex_lookup(image_id, u, v, width) -> rgb`` is supplied by the mipmap
+    layer when the scene has image textures (kept as an injection point so
+    this module has no HBM image dependencies). ``width`` [N] is the uv-
+    space filter footprint (ray cones; None = finest level).
     """
     tid = jnp.clip(tid, 0, max(tex.count - 1, 0)).astype(jnp.int32)
     if tex.count == 0:
@@ -79,4 +81,5 @@ def eval_texture(tex: Textures, tid: jnp.ndarray, uv: jnp.ndarray,
         mult = jnp.where(is_scale[..., None], mult * tex.value[cur], mult)
         cur = nxt.astype(jnp.int32)
 
-    return mult * _leaf_value(tex, cur, uv, tex_lookup=tex_lookup)
+    return mult * _leaf_value(tex, cur, uv, tex_lookup=tex_lookup,
+                              width=width)

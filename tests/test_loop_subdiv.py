@@ -1,0 +1,82 @@
+"""Loop subdivision: the reference's loop_subdiv.rs ends unimplemented
+(:303); these tests validate our complete implementation against the
+classic analytic properties of Loop surfaces."""
+import numpy as np
+
+from fountain_tpu.geometry.loop_subdiv import loop_subdivide
+
+
+def _icosahedron():
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], np.float32)
+    verts /= np.linalg.norm(verts, axis=-1, keepdims=True)
+    faces = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]], np.int32)
+    return verts, faces
+
+
+def test_face_count_quadruples():
+    v, f = _icosahedron()
+    for levels in (1, 2, 3):
+        _, f2, _ = loop_subdivide(v, f, levels)
+        assert len(f2) == len(f) * 4 ** levels
+
+
+def test_icosahedron_rounds_toward_sphere():
+    """The limit surface of an icosahedron is a nearly-spherical closed
+    surface (radius spread ~0.02 — the true limit shape, stable across
+    levels because every level samples the SAME limit surface) and limit
+    normals point radially outward."""
+    v, f = _icosahedron()
+    for levels in (1, 2, 3):
+        pos, faces, nrm = loop_subdivide(v, f, levels)
+        r = np.linalg.norm(pos, axis=-1)
+        assert r.max() - r.min() < 0.05, f"not sphere-like at {levels}"
+        radial = pos / np.linalg.norm(pos, axis=-1, keepdims=True)
+        cos = (radial * nrm).sum(-1)
+        assert cos.min() > 0.99, f"normals not radial at level {levels}"
+
+
+def test_closed_mesh_stays_closed():
+    """Every edge of the subdivided icosahedron is shared by exactly 2
+    faces (watertight topology is preserved)."""
+    v, f = _icosahedron()
+    _, faces, _ = loop_subdivide(v, f, 2)
+    from collections import Counter
+    edges = Counter()
+    for a, b, c in faces:
+        for u, w in ((a, b), (b, c), (c, a)):
+            edges[(min(u, w), max(u, w))] += 1
+    assert set(edges.values()) == {2}
+
+
+def test_flat_grid_stays_flat():
+    """A planar control mesh has a planar limit surface with +z normals."""
+    n = 5
+    xx, yy = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32))
+    pos = np.stack([xx, yy, np.zeros_like(xx)], -1).reshape(-1, 3)
+    faces = []
+    for j in range(n - 1):
+        for i in range(n - 1):
+            a = j * n + i
+            faces += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+    pos2, faces2, nrm = loop_subdivide(pos, np.asarray(faces, np.int32), 2)
+    np.testing.assert_allclose(pos2[:, 2], 0.0, atol=1e-6)
+    assert np.abs(nrm[:, 2]).min() > 0.99
+
+
+def test_boundary_edges_preserved():
+    """Boundary of an open grid stays on the boundary rectangle hull
+    (boundary masks only use boundary neighbors)."""
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    pos2, _, _ = loop_subdivide(pos, faces, 2)
+    assert pos2[:, 0].min() >= -1e-6 and pos2[:, 0].max() <= 1.0 + 1e-6
+    assert pos2[:, 1].min() >= -1e-6 and pos2[:, 1].max() <= 1.0 + 1e-6

@@ -153,11 +153,17 @@ def spherical_phi(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def next_float_up(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.nextafter(x, jnp.asarray(jnp.inf, x.dtype))
+    # ulp rounding expressed as x + const so autodiff passes straight
+    # through (nextafter has no JVP rule; its true derivative is 1 a.e.)
+    import jax
+    return x + jax.lax.stop_gradient(
+        jnp.nextafter(x, jnp.asarray(jnp.inf, x.dtype)) - x)
 
 
 def next_float_down(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.nextafter(x, jnp.asarray(-jnp.inf, x.dtype))
+    import jax
+    return x + jax.lax.stop_gradient(
+        jnp.nextafter(x, jnp.asarray(-jnp.inf, x.dtype)) - x)
 
 
 def offset_ray_origin(p: jnp.ndarray, p_err: jnp.ndarray, n: jnp.ndarray,

@@ -212,8 +212,14 @@ def attach_bvh(scene, leaf_size: int = LEAF_SIZE):
         mesh_id=tris.mesh_id[order])
     from fountain_tpu.geometry.tensor_tri import (MAX_DENSE_FACES,
                                                   build_tri_features)
-    feats = build_tri_features(v[order]) \
-        if tris.count <= MAX_DENSE_FACES else None
+    dense = tris.count <= MAX_DENSE_FACES
+    feats = build_tri_features(v[order]) if dense else None
+    qfeat = None
+    if dense:
+        from fountain_tpu.geometry.pallas_tri import (pack_block_bounds,
+                                                      pack_features_pallas)
+        qfeat = (pack_features_pallas(v[order]), pack_block_bounds(v[order]))
+    from fountain_tpu.geometry.triangle import build_tri_attr
     return scene._replace(
         triangles=reordered,
         bvh_nodes_min=jnp.asarray(nodes_min),
@@ -221,7 +227,9 @@ def attach_bvh(scene, leaf_size: int = LEAF_SIZE):
         bvh_meta=jnp.asarray(meta),
         bvh_nodes8=jnp.asarray(pack_nodes(nodes_min, nodes_max, meta)),
         bvh_tri_verts=jnp.asarray(v[order]),
-        tri_features=feats)
+        tri_features=feats,
+        tri_qfeat=qfeat,
+        tri_attr=build_tri_attr(reordered, v[order]))
 
 
 # ---------------------------------------------------------------------------

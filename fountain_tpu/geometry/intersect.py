@@ -30,6 +30,17 @@ PRIM_SPHERE = 1
 PRIM_TRIANGLE = 2
 
 
+def _use_pallas() -> bool:
+    """Trace-time backend dispatch: the VMEM-fused flash-intersect kernel
+    (geometry.pallas_tri) only compiles on real TPU; CPU (tests, the
+    virtual multi-chip dry run) uses the XLA tensor path."""
+    import jax
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
 class Hit(NamedTuple):
     """SoA surface-interaction record (reference SurfaceInteraction,
     src/interaction.rs:60-84, flattened over the wavefront)."""
@@ -228,7 +239,11 @@ def scene_intersect(scene: Scene, o_w, d_w, t_max) -> Hit:
         from fountain_tpu.geometry.triangle import (intersect_triangles,
                                                     triangle_hit_info)
         cap = jnp.where(ok_s, t_s, t_max)
-        if scene.tri_features is not None:
+        if scene.tri_qfeat is not None and _use_pallas():
+            from fountain_tpu.geometry.pallas_tri import mt_intersect_pallas
+            t_t, idx_t, ok_t = mt_intersect_pallas(scene.tri_qfeat, o_w, d_w,
+                                                   cap)
+        elif scene.tri_features is not None:
             from fountain_tpu.geometry.tensor_tri import mt_intersect
             t_t, idx_t, ok_t = mt_intersect(scene.tri_features, o_w, d_w,
                                             cap)
@@ -241,7 +256,8 @@ def scene_intersect(scene: Scene, o_w, d_w, t_max) -> Hit:
         else:
             t_t, idx_t, ok_t = intersect_triangles(scene.triangles, o_w, d_w,
                                                    cap)
-        tri_hit = triangle_hit_info(scene.triangles, idx_t, o_w, d_w, t_t, ok_t)
+        tri_hit = triangle_hit_info(scene.triangles, idx_t, o_w, d_w, t_t,
+                                    ok_t, attr=scene.tri_attr)
         # triangle search was capped at the sphere hit distance, so any valid
         # triangle hit is closer than the sphere hit
         hit = select_hit(ok_t, tri_hit, hit)
@@ -263,7 +279,11 @@ def scene_intersect_any(scene: Scene, o_w, d_w, t_max) -> jnp.ndarray:
     """Occlusion query (reference Scene::intersect_test, scene/mod.rs:55-57)."""
     blocked = intersect_spheres_any(scene.spheres, o_w, d_w, t_max)
     if scene.triangles.count > 0:
-        if scene.tri_features is not None:
+        if scene.tri_qfeat is not None and _use_pallas():
+            from fountain_tpu.geometry.pallas_tri import mt_intersect_pallas
+            _, _, tri_blocked = mt_intersect_pallas(scene.tri_qfeat, o_w,
+                                                    d_w, t_max, any_hit=True)
+        elif scene.tri_features is not None:
             from fountain_tpu.geometry.tensor_tri import mt_intersect
             _, _, tri_blocked = mt_intersect(scene.tri_features, o_w, d_w,
                                              t_max, any_hit=True)

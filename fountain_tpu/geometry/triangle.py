@@ -49,9 +49,19 @@ def _diff_of_products(a, b, c, d):
 
 
 def _permute_axis(v, kx, ky, kz):
-    """Reorder the component axis of [..., 3] by per-lane indices kx/ky/kz."""
-    idx = jnp.stack([kx, ky, kz], axis=-1)
-    return jnp.take_along_axis(v, idx, axis=-1)
+    """Reorder the component axis of [..., 3] by per-lane indices kx/ky/kz.
+
+    kz ∈ {0,1,2} with kx=(kz+1)%3, ky=(kx+1)%3, so the permutation is one
+    of three fixed rotations — expressed as elementwise selects (a
+    take_along_axis on the minor axis lowers to a per-lane gather, ~40ms
+    per call at 262k lanes on TPU; selects are ~free)."""
+    v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+    is0 = kz == 0
+    is1 = kz == 1
+    x = jnp.where(is0, v1, jnp.where(is1, v2, v0))
+    y = jnp.where(is0, v2, jnp.where(is1, v0, v1))
+    z = jnp.where(is0, v0, jnp.where(is1, v1, v2))
+    return jnp.stack([x, y, z], axis=-1)
 
 
 def woop_intersect(p0, p1, p2, o, d, t_max):
@@ -204,11 +214,71 @@ def intersect_triangles_any(tris: Triangles, o, d, t_max,
                              jnp.zeros(o.shape[:-1], bool))
 
 
-def triangle_hit_info(tris: Triangles, face_idx, o, d, t, valid) -> Hit:
+def build_tri_attr(tris: Triangles, tri_verts) -> jnp.ndarray:
+    """Pack everything triangle_hit_info needs into ONE [F, 32] f32 row per
+    face so the per-ray fetch is a single aligned row gather instead of ~8
+    small indirect gathers (TPU gathers are row-granular; 128-byte rows
+    amortize far better than 12-byte vertex rows).
+
+    Layout: 0:9 p0p1p2 | 9:18 n0n1n2 | 18:24 uv0uv1uv2 | 24 mat_id(bits)
+    | 25 light_id(bits) | 26 flags(has_normals | flip<<1) | 27:32 pad.
+    """
+    import numpy as np
+    f = int(tris.count)
+    v = np.asarray(tri_verts, np.float32).reshape(f, 9)
+    idx = np.asarray(tris.indices)
+    n_all = np.asarray(tris.normals)[idx].reshape(f, 9) \
+        if np.asarray(tris.normals).size else np.zeros((f, 9), np.float32)
+    uv_all = np.asarray(tris.uv)[idx].reshape(f, 6)
+    # bake the default barycentric uvs (triangle.rs:~300) at build time
+    uv_zero = np.all(uv_all == 0.0, axis=-1)
+    uv_all[uv_zero] = np.asarray([0, 0, 1, 0, 1, 1], np.float32)
+    out = np.zeros((f, 32), np.float32)
+    out[:, 0:9] = v
+    out[:, 9:18] = n_all
+    out[:, 18:24] = uv_all
+    out[:, 24] = np.asarray(tris.mat_id, np.int32).view(np.float32)
+    out[:, 25] = np.asarray(tris.light_id, np.int32).view(np.float32)
+    flags = (np.asarray(tris.has_normals).astype(np.int32)
+             | (np.asarray(tris.flip_normal).astype(np.int32) << 1))
+    out[:, 26] = flags.view(np.float32)
+    return jnp.asarray(out)
+
+
+def triangle_hit_info(tris: Triangles, face_idx, o, d, t, valid,
+                      attr=None) -> Hit:
     """Full surface interaction for per-ray face `face_idx`
     (triangle.rs:270-393: barycentric p with error bounds, uv partials,
-    interpolated shading frame)."""
-    p0, p1, p2 = _gather_verts(tris, face_idx)
+    interpolated shading frame). With `attr` (build_tri_attr) all per-face
+    data comes from one packed row gather."""
+    if attr is not None:
+        row = attr[face_idx]                           # [..., 32]
+        p0, p1, p2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        n0, n1, n2 = row[..., 9:12], row[..., 12:15], row[..., 15:18]
+        uv0, uv1, uv2 = row[..., 18:20], row[..., 20:22], row[..., 22:24]
+        mat_id = jax.lax.bitcast_convert_type(row[..., 24], jnp.int32)
+        light_id = jax.lax.bitcast_convert_type(row[..., 25], jnp.int32)
+        flags = jax.lax.bitcast_convert_type(row[..., 26], jnp.int32)
+        has_n = (flags & 1) != 0
+        flip = (flags & 2) != 0
+    else:
+        p0, p1, p2 = _gather_verts(tris, face_idx)
+        i = tris.indices[face_idx]
+        n_all = tris.normals[i]
+        n0, n1, n2 = (n_all[..., 0, :], n_all[..., 1, :], n_all[..., 2, :])
+        uv_all = tris.uv[i]                    # [..., 3, 2]
+        uv_zero = jnp.all(uv_all == 0.0, axis=(-1, -2))
+        default_uv = jnp.broadcast_to(
+            jnp.asarray([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], Float),
+            uv_all.shape)
+        uv_all = jnp.where(uv_zero[..., None, None], default_uv, uv_all)
+        uv0, uv1, uv2 = (uv_all[..., 0, :], uv_all[..., 1, :],
+                         uv_all[..., 2, :])
+        mat_id = tris.mat_id[face_idx]
+        light_id = tris.light_id[face_idx]
+        has_n = tris.has_normals[face_idx]
+        flip = tris.flip_normal[face_idx]
+
     tt, b0, b1, b2, _ = woop_intersect(p0, p1, p2, o, d,
                                        jnp.where(valid, t * 1.0001 + 1e-5,
                                                  jnp.inf))
@@ -217,15 +287,6 @@ def triangle_hit_info(tris: Triangles, face_idx, o, d, t, valid) -> Hit:
              + jnp.abs(b2[..., None] * p2))
     p_err = gamma(7) * x_abs
 
-    # uv coordinates (default (0,0),(1,0),(1,1), triangle.rs:~300)
-    i = tris.indices[face_idx]
-    uv_all = tris.uv[i]                    # [..., 3, 2]
-    uv_zero = jnp.all(uv_all == 0.0, axis=(-1, -2))
-    default_uv = jnp.broadcast_to(
-        jnp.asarray([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], Float),
-        uv_all.shape)
-    uv_all = jnp.where(uv_zero[..., None, None], default_uv, uv_all)
-    uv0, uv1, uv2 = uv_all[..., 0, :], uv_all[..., 1, :], uv_all[..., 2, :]
     uv_hit = (b0[..., None] * uv0 + b1[..., None] * uv1
               + b2[..., None] * uv2)
 
@@ -245,15 +306,12 @@ def triangle_hit_info(tris: Triangles, face_idx, o, d, t, valid) -> Hit:
     _, fb_ss, fb_ts = coordinate_system(ng)
     dpdu = jnp.where(degen_uv[..., None], fb_ss, dpdu)
 
-    flip = tris.flip_normal[face_idx]
     ng = jnp.where(flip[..., None], -ng, ng)
 
     # interpolated shading normal (triangle.rs:332-391)
-    has_n = tris.has_normals[face_idx]
-    n_all = tris.normals[i]               # [..., 3, 3]
-    ns_interp = normalize(b0[..., None] * n_all[..., 0, :]
-                          + b1[..., None] * n_all[..., 1, :]
-                          + b2[..., None] * n_all[..., 2, :])
+    ns_interp = normalize(b0[..., None] * n0
+                          + b1[..., None] * n1
+                          + b2[..., None] * n2)
     ns_interp = jnp.where(flip[..., None], -ns_interp, ns_interp)
     degenerate_ns = length(ns_interp) < 0.5
     ns = jnp.where((has_n & ~degenerate_ns)[..., None], ns_interp, ng)
@@ -276,7 +334,7 @@ def triangle_hit_info(tris: Triangles, face_idx, o, d, t, valid) -> Hit:
         n=ng, ns=ns, ss=ss, ts=ts, uv=uv_hit, wo=wo,
         prim_kind=jnp.where(valid, PRIM_TRIANGLE, PRIM_NONE).astype(jnp.int32),
         prim_id=face_idx.astype(jnp.int32),
-        mat_id=jnp.where(valid, tris.mat_id[face_idx], -1).astype(jnp.int32),
-        light_id=jnp.where(valid, tris.light_id[face_idx], -1).astype(jnp.int32),
+        mat_id=jnp.where(valid, mat_id, -1).astype(jnp.int32),
+        light_id=jnp.where(valid, light_id, -1).astype(jnp.int32),
         inv_uv_scale=inv_uv,
     )

@@ -167,6 +167,34 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
     spread = jnp.zeros(n, jnp.float32) if cone_spread is None \
         else jnp.broadcast_to(cone_spread, n)
 
+    # --- lane-major packed loop carry -------------------------------------
+    # TPU tiles f32 arrays as (8 sublanes, 128 lanes) with the LAST axis on
+    # lanes; a materialized [N,3] costs 42x (and [N,1] 128x) its logical
+    # size in HBM. Per-bounce state therefore crosses the scan boundary as
+    # ONE [16, N] array (rows = o,d,beta,radiance,cone,active,specular):
+    # 16 sublanes x N lanes tiles exactly, so the rematerialized backward
+    # pass saves 16MB/bounce instead of ~3GB. Inside the (fused) body the
+    # [N,3] convention is unchanged.
+    flat = len(n) == 1
+
+    def _pack(st):
+        rows = [st["o"].T, st["d"].T, st["beta"].T, st["radiance"].T,
+                st["cone_width"][None], st["active"][None].astype(jnp.float32),
+                st["specular"][None].astype(jnp.float32),
+                jnp.zeros((1,) + n, jnp.float32)]
+        return jnp.concatenate(rows, axis=0)
+
+    def _unpack(p, n_rays):
+        # o/d/cone never carry tangents (detached-sampling estimator:
+        # positions and directions are *choices*); detach them so packing
+        # them next to the differentiable beta/radiance rows doesn't
+        # spuriously extend the tangent graph into ray geometry
+        sg = jax.lax.stop_gradient if detach_sampling else (lambda x: x)
+        return dict(
+            o=sg(p[0:3].T), d=sg(p[3:6].T), beta=p[6:9].T,
+            radiance=p[9:12].T, cone_width=sg(p[12]), active=p[13] > 0.5,
+            specular=p[14] > 0.5, n_rays=n_rays)
+
     def bounce_body(bounce, st):
         t_max = jnp.where(st["active"], jnp.inf, -1.0)
         hit = scene_intersect(scene, st["o"], st["d"], t_max)
@@ -295,7 +323,23 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         st["active"] = alive
         return st
 
-    state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce_body, state)
+    if flat:
+        # scan over bounces with a rematerialized body: backward recomputes
+        # each bounce from its 16-row packed carry instead of saving every
+        # padded [N,*] intermediate (see _pack note above)
+        @jax.checkpoint
+        def scan_body(carry, bounce):
+            packed, n_rays = carry
+            st = _unpack(packed, n_rays)
+            st = bounce_body(bounce, st)
+            return (_pack(st), st["n_rays"]), None
+
+        (packed, n_rays), _ = jax.lax.scan(
+            scan_body, (_pack(state), state["n_rays"]),
+            jnp.arange(cfg.max_depth + 1))
+        state = _unpack(packed, n_rays)
+    else:
+        state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce_body, state)
     if count_rays:
         return state["radiance"], state["n_rays"]
     return state["radiance"]

@@ -216,6 +216,13 @@ class Scene(NamedTuple):
     # dense MXU intersection features (geometry.tensor_tri): attached for
     # scenes within the dense budget; preferred over the BVH walk on TPU
     tri_features: Optional[tuple] = None          # tensor_tri.TriFeatures
+    # VMEM-fused flash-intersect features (geometry.pallas_tri
+    # pack_features_pallas, [4,16,Fpad]); used instead of tri_features when
+    # running on a real TPU backend — the pair matrix never leaves VMEM
+    tri_qfeat: Optional[jnp.ndarray] = None
+    # packed per-face hit attributes [F,32] (geometry.triangle
+    # build_tri_attr): one row gather per hit instead of ~8 indirect ones
+    tri_attr: Optional[jnp.ndarray] = None
     # per-face within-light cumulative-area CDF for AREA_TRI sampling
     # (normalized inside each light's [tri_start, tri_start+tri_count) range)
     tri_area_cdf: Optional[jnp.ndarray] = None    # [F]

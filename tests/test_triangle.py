@@ -123,3 +123,37 @@ def test_watertight_rounded_cube():
                                   jnp.full((n,), np.inf, jnp.float32))
     leaks = int(n - np.asarray(hit).sum())
     assert leaks == 0, f"{leaks} leaked rays of {n}"
+
+
+def test_packed_attr_hit_info_matches_unpacked():
+    """build_tri_attr row-gather path == classic multi-gather path."""
+    import jax.numpy as jnp
+    from fountain_tpu.geometry.bvh import attach_bvh
+    from fountain_tpu.geometry.triangle import (build_tri_attr,
+                                                intersect_triangles,
+                                                triangle_hit_info)
+    from fountain_tpu.io.ply import load_ply
+    from fountain_tpu.scene.build import SceneBuilder
+
+    mesh = load_ply(DATA)
+    b = SceneBuilder()
+    m = b.add_matte()
+    b.add_triangle_mesh(mesh.positions, mesh.indices, normals=mesh.normals,
+                        mat_id=m)
+    scene = attach_bvh(b.build())
+    tris = scene.triangles
+    assert scene.tri_attr is not None
+
+    rng = np.random.default_rng(7)
+    n = 512
+    o = jnp.asarray(rng.normal(0, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(0, 1, (n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t, idx, ok = intersect_triangles(tris, o, d,
+                                     jnp.full((n,), jnp.inf, jnp.float32))
+    assert int(ok.sum()) > 50
+    h0 = triangle_hit_info(tris, idx, o, d, t, ok)
+    h1 = triangle_hit_info(tris, idx, o, d, t, ok, attr=scene.tri_attr)
+    for name, a, b_ in zip(h0._fields, h0, h1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)

@@ -5,10 +5,14 @@ solution 1/(1-rho) = 2.0, reference tests/furnace.rs:15-21).
 Usage: python examples/render_furnace.py [--res 256] [--spp 64] [--cpu]
 """
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+# self-locate the repo root; PYTHONPATH=. breaks the remote-TPU plugin
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

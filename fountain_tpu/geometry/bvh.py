@@ -214,11 +214,10 @@ def attach_bvh(scene, leaf_size: int = LEAF_SIZE):
                                                   build_tri_features)
     dense = tris.count <= MAX_DENSE_FACES
     feats = build_tri_features(v[order]) if dense else None
-    qfeat = None
-    if dense:
-        from fountain_tpu.geometry.pallas_tri import (pack_block_bounds,
-                                                      pack_features_pallas)
-        qfeat = (pack_features_pallas(v[order]), pack_block_bounds(v[order]))
+    # the Pallas path streams face superblocks from HBM (two-level cull),
+    # so it has no VMEM face cap — attach for every scene size
+    from fountain_tpu.geometry.pallas_tri import pack_features_pallas
+    qfeat = pack_features_pallas(v[order])
     from fountain_tpu.geometry.triangle import build_tri_attr
     return scene._replace(
         triangles=reordered,

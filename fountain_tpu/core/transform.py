@@ -12,6 +12,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fountain_tpu.core.vecmath import Float, gamma, cross, dot, normalize
 
@@ -20,6 +21,18 @@ def _mm(a, b):
     """4x4 matmul at full f32 precision (TPU matmuls default to lower
     precision, which is unacceptable for geometry)."""
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _inv(m):
+    """4x4 inverse at full precision. jnp.linalg.inv's LU runs at the
+    backend's default matmul precision — bf16-grade on TPU, which put
+    ~1e-3 errors into every cached camera/object inverse. Concrete
+    (scene-build-time) matrices invert exactly in f64 on the host;
+    traced ones fall back to LU pinned at HIGHEST."""
+    if not isinstance(m, jax.core.Tracer):
+        return jnp.asarray(np.linalg.inv(np.asarray(m, np.float64)), Float)
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.inv(m).astype(Float)
 
 
 class Transform(NamedTuple):
@@ -47,7 +60,7 @@ def identity() -> Transform:
 
 def from_matrix(m) -> Transform:
     m = jnp.asarray(m, Float)
-    return Transform(m, jnp.linalg.inv(m).astype(Float))
+    return Transform(m, _inv(m))
 
 
 def translate(delta) -> Transform:
@@ -92,7 +105,7 @@ def look_at(eye, look, up) -> Transform:
         jnp.append(direction, 0.0),
         jnp.append(eye, 1.0),
     ], axis=-1).astype(Float)  # columns: right, up, dir, eye
-    return Transform(m, jnp.linalg.inv(m).astype(Float))
+    return Transform(m, _inv(m))
 
 
 def perspective(fov_deg, near, far) -> Transform:
@@ -106,8 +119,8 @@ def perspective(fov_deg, near, far) -> Transform:
         [0.0, 0.0, far / (far - near), -far * near / (far - near)],
         [0.0, 0.0, 1.0, 0.0],
     ], dtype=Float)
-    m = jnp.diag(jnp.asarray([inv_tan, inv_tan, 1.0, 1.0], Float)) @ persp
-    return Transform(m, jnp.linalg.inv(m).astype(Float))
+    m = _mm(jnp.diag(jnp.asarray([inv_tan, inv_tan, 1.0, 1.0], Float)), persp)
+    return Transform(m, _inv(m))
 
 
 def _apply(m: jnp.ndarray, v: jnp.ndarray, w: float) -> jnp.ndarray:

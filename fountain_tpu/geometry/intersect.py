@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from fountain_tpu.core import transform as tf
 from fountain_tpu.core.vecmath import (Float, PI, cross, dot, gamma, length,
@@ -223,16 +224,28 @@ def miss_hit(o_w, d_w) -> Hit:
                inv_uv_scale=jnp.zeros(n, Float))
 
 
-def scene_intersect(scene: Scene, o_w, d_w, t_max) -> Hit:
+def scene_intersect(scene: Scene, o_w, d_w, t_max, active=None) -> Hit:
     """Closest-hit over all primitive tables (reference Scene::intersect,
     src/scene/mod.rs:51-53). Currently spheres + triangles brute-force; BVH
-    traversal replaces the triangle path once built (geometry.bvh)."""
+    traversal replaces the triangle path once built (geometry.bvh).
+
+    The raw (t, idx, valid) results are tagged as ``isect`` checkpoint
+    residuals: under ``jax.checkpoint(policy=save_only_these_names("isect"))``
+    the backward remat reuses them instead of re-running the intersection
+    sweeps (they carry no gradient — already stop_gradient'd downstream).
+
+    ``active`` (optional [N] bool): lanes that still need a result; lets the
+    Pallas path sort dead lanes last and skip whole ray tiles.
+    """
     if scene.spheres.count == 0:
         hit = miss_hit(o_w, d_w)
         ok_s = hit.valid
         t_s = hit.t
     else:
         t_s, idx_s, ok_s = intersect_spheres(scene.spheres, o_w, d_w, t_max)
+        t_s = checkpoint_name(t_s, "isect")
+        idx_s = checkpoint_name(idx_s, "isect")
+        ok_s = checkpoint_name(ok_s, "isect")
         hit = sphere_hit_info(scene.spheres, idx_s, o_w, d_w,
                               jnp.where(ok_s, t_s, t_max), ok_s)
     if scene.triangles.count > 0:
@@ -242,7 +255,7 @@ def scene_intersect(scene: Scene, o_w, d_w, t_max) -> Hit:
         if scene.tri_qfeat is not None and _use_pallas():
             from fountain_tpu.geometry.pallas_tri import mt_intersect_pallas
             t_t, idx_t, ok_t = mt_intersect_pallas(scene.tri_qfeat, o_w, d_w,
-                                                   cap)
+                                                   cap, active=active)
         elif scene.tri_features is not None:
             from fountain_tpu.geometry.tensor_tri import mt_intersect
             t_t, idx_t, ok_t = mt_intersect(scene.tri_features, o_w, d_w,
@@ -256,6 +269,9 @@ def scene_intersect(scene: Scene, o_w, d_w, t_max) -> Hit:
         else:
             t_t, idx_t, ok_t = intersect_triangles(scene.triangles, o_w, d_w,
                                                    cap)
+        t_t = checkpoint_name(t_t, "isect")
+        idx_t = checkpoint_name(idx_t, "isect")
+        ok_t = checkpoint_name(ok_t, "isect")
         tri_hit = triangle_hit_info(scene.triangles, idx_t, o_w, d_w, t_t,
                                     ok_t, attr=scene.tri_attr)
         # triangle search was capped at the sphere hit distance, so any valid
@@ -275,14 +291,16 @@ def select_hit(mask: jnp.ndarray, a: Hit, b: Hit) -> Hit:
     return Hit(*out)
 
 
-def scene_intersect_any(scene: Scene, o_w, d_w, t_max) -> jnp.ndarray:
+def scene_intersect_any(scene: Scene, o_w, d_w, t_max,
+                        active=None) -> jnp.ndarray:
     """Occlusion query (reference Scene::intersect_test, scene/mod.rs:55-57)."""
     blocked = intersect_spheres_any(scene.spheres, o_w, d_w, t_max)
     if scene.triangles.count > 0:
         if scene.tri_qfeat is not None and _use_pallas():
             from fountain_tpu.geometry.pallas_tri import mt_intersect_pallas
             _, _, tri_blocked = mt_intersect_pallas(scene.tri_qfeat, o_w,
-                                                    d_w, t_max, any_hit=True)
+                                                    d_w, t_max, any_hit=True,
+                                                    active=active)
         elif scene.tri_features is not None:
             from fountain_tpu.geometry.tensor_tri import mt_intersect
             _, _, tri_blocked = mt_intersect(scene.tri_features, o_w, d_w,
@@ -298,4 +316,4 @@ def scene_intersect_any(scene: Scene, o_w, d_w, t_max) -> jnp.ndarray:
             tri_blocked = intersect_triangles_any(scene.triangles, o_w, d_w,
                                                   t_max)
         blocked = blocked | tri_blocked
-    return blocked
+    return checkpoint_name(blocked, "isect")

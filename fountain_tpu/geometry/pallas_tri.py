@@ -10,8 +10,10 @@ Grid layout (round 2): ``(face superblocks, ray tiles)`` with the
 superblock axis OUTER, so the bf16 feature table streams HBM→VMEM once
 per superblock (not once per ray tile) and scenes far beyond the VMEM
 budget traverse at full speed — the two-level analog of the reference's
-BVH early-out (bvh.rs:176). The per-ray (t, idx) running min crosses
-superblock steps through input/output-aliased buffers.
+BVH early-out (bvh.rs:176). Each grid step writes its own per-superblock
+partial (t, idx) block — no state crosses grid steps (cross-step carries
+via input/output aliasing proved racy on this backend) — and a cheap XLA
+min over the superblock axis finishes the reduction.
 
 Precision (round 2): every Möller–Trumbore quantity is a K=10 dot, so
 the MXU's K=128 systolic depth is mostly idle. The three-way bf16 split
@@ -126,9 +128,14 @@ def pack_block_bounds(tri_verts: np.ndarray) -> jnp.ndarray:
 
 
 def _split3_jnp(x: jnp.ndarray):
-    hi = x.astype(jnp.bfloat16)
+    # optimization_barrier: XLA's algebraic simplifier folds the
+    # f32->bf16->f32 round trip to the identity in some fusion contexts
+    # (observed on-device when a gather feeds x), which silently collapses
+    # the split to hi-only (mid = lo = 0) and bf16-level acceptance errors
+    barrier = jax.lax.optimization_barrier
+    hi = barrier(x.astype(jnp.bfloat16))
     r = x - hi.astype(jnp.float32)
-    mid = r.astype(jnp.bfloat16)
+    mid = barrier(r.astype(jnp.bfloat16))
     lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, mid, lo
 
@@ -146,7 +153,7 @@ def _ray_features96(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(nact_ref, aux_ref, rf_ref, feat_ref, aabb_ref, sb_ref,
-            t_in_ref, i_in_ref, t_ref, idx_ref, *, nb: int, t_eps: float):
+            t_ref, idx_ref, *, nb: int, t_eps: float):
     i = pl.program_id(1)
     s = pl.program_id(0)
     live = i * BN < nact_ref[0]
@@ -158,7 +165,12 @@ def _kernel(nact_ref, aux_ref, rf_ref, feat_ref, aabb_ref, sb_ref,
         d = aux[:, 3:6]
         inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
         rf = rf_ref[...]                      # [BN, 96] bf16
-        carry0 = (t_in_ref[...], i_in_ref[...])
+        # per-superblock partial best: every (s, i) grid step owns its own
+        # output block, so no state crosses grid steps (cross-step carries
+        # via input/output aliasing proved unreliable — stale in interpret
+        # mode and racy on the remote-TPU backend); the cheap min over the
+        # superblock axis happens in XLA after the kernel
+        carry0 = (aux[:, 6:7], jnp.full((aux.shape[0], 1), -1, jnp.int32))
 
         def test_block(c, carry):
             t_best, i_best = carry
@@ -223,14 +235,14 @@ def _kernel(nact_ref, aux_ref, rf_ref, feat_ref, aabb_ref, sb_ref,
             jnp.any(sb_hit),
             lambda cr: jax.lax.fori_loop(0, nb, body, cr),
             lambda cr: cr, carry0)
-        t_ref[...] = t_best
-        idx_ref[...] = i_best
+        t_ref[0, :, :] = t_best
+        idx_ref[0, :, :] = i_best
 
     @pl.when(jnp.logical_not(live))
     def _skip():
-        # dead tile: pass the carried values through unchanged
-        t_ref[...] = t_in_ref[...]
-        idx_ref[...] = i_in_ref[...]
+        # dead tile: no hit
+        t_ref[0, :, :] = jnp.full((aux_ref.shape[0], 1), 3e38, jnp.float32)
+        idx_ref[0, :, :] = jnp.full((aux_ref.shape[0], 1), -1, jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("t_eps", "interpret"))
@@ -241,8 +253,6 @@ def _sweep(n_active, aux, rf, feat, aabb, sb_aabb, t_eps: float = 1e-4,
     s_blocks = feat.shape[0]
     nb = feat.shape[-1] // BC
     kern = functools.partial(_kernel, nb=nb, t_eps=t_eps)
-    t_init = aux[:, 6:7]
-    i_init = jnp.full((n, 1), -1, jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(s_blocks, n_tiles),
@@ -252,28 +262,30 @@ def _sweep(n_active, aux, rf, feat, aabb, sb_aabb, t_eps: float = 1e-4,
             pl.BlockSpec((1, 4, _K6, SB), lambda s, i, *_: (s, 0, 0, 0)),
             pl.BlockSpec((1, nb, 8), lambda s, i, *_: (s, 0, 0)),  # aabb
             pl.BlockSpec((1, 1, 8), lambda s, i, *_: (s, 0, 0)),   # sb aabb
-            pl.BlockSpec((BN, 1), lambda s, i, *_: (i, 0)),      # t carry
-            pl.BlockSpec((BN, 1), lambda s, i, *_: (i, 0)),      # idx carry
         ],
         out_specs=[
-            pl.BlockSpec((BN, 1), lambda s, i, *_: (i, 0)),
-            pl.BlockSpec((BN, 1), lambda s, i, *_: (i, 0)),
+            pl.BlockSpec((1, BN, 1), lambda s, i, *_: (s, i, 0)),
+            pl.BlockSpec((1, BN, 1), lambda s, i, *_: (s, i, 0)),
         ],
     )
-    return pl.pallas_call(
+    t_part, i_part = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((s_blocks, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s_blocks, n, 1), jnp.int32),
         ],
-        # (t, idx) carry across superblock steps: inputs 6/7 (after the
-        # scalar arg) alias outputs 0/1
-        input_output_aliases={6: 0, 7: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(n_active, aux, rf, feat, aabb, sb_aabb, t_init, i_init)
+    )(n_active, aux, rf, feat, aabb, sb_aabb)
+    # min over the superblock axis (ties -> lowest s -> lowest face index,
+    # matching the tensor path's first-argmin convention)
+    tp, ip = t_part[..., 0], i_part[..., 0]            # [S, n]
+    s_star = jnp.argmin(tp, axis=0)[None]              # [1, n]
+    t = jnp.take_along_axis(tp, s_star, axis=0)[0]
+    idx = jnp.take_along_axis(ip, s_star, axis=0)[0]
+    return t[:, None], idx[:, None]
 
 
 def _morton16(q: jnp.ndarray) -> jnp.ndarray:

@@ -326,8 +326,14 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
     if flat:
         # scan over bounces with a rematerialized body: backward recomputes
         # each bounce from its 16-row packed carry instead of saving every
-        # padded [N,*] intermediate (see _pack note above)
-        @jax.checkpoint
+        # padded [N,*] intermediate (see _pack note above). The intersection
+        # sweeps' raw (t, idx, valid) ARE saved (checkpoint_name "isect" in
+        # geometry.intersect): they carry no gradient, and re-running the
+        # Pallas sweeps in the backward pass was 5x the whole forward cost.
+        import functools as _ft
+        _policy = jax.checkpoint_policies.save_only_these_names("isect")
+
+        @_ft.partial(jax.checkpoint, policy=_policy)
         def scan_body(carry, bounce):
             packed, n_rays = carry
             st = _unpack(packed, n_rays)

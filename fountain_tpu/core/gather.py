@@ -1,0 +1,55 @@
+"""Differentiable row gathers with TPU-friendly backward passes.
+
+``table[idx]`` differentiates to a scatter-add, which XLA executes as a
+serialized-ish scatter on TPU — measured ~40 ms per 262k-lane gather into a
+3-row texture table (10x the forward cost). For small tables the transpose
+of a gather is a dense masked reduction: grad[t] = sum_n [idx_n == t] g_n,
+which maps onto one small matmul (the one-hot trick) and runs in
+microseconds. Large tables keep the scatter (the one-hot matrix would not
+fit); image-atlas gradients go through the mipmap layer instead.
+
+Reference analog: none — the reference is not differentiable; this is pure
+TPU-backward engineering.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# above this row count the [N, T] one-hot matrix costs more than the scatter
+ONE_HOT_MAX_ROWS = 512
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gather(t_rows: int):
+    @jax.custom_vjp
+    def f(table, idx):
+        return table[idx]
+
+    def fwd(table, idx):
+        return table[idx], idx
+
+    def bwd(idx, g):
+        flat_idx = idx.reshape(-1)
+        row_shape = g.shape[idx.ndim:]
+        g2 = g.reshape((flat_idx.size, -1)).astype(jnp.float32)
+        if t_rows <= ONE_HOT_MAX_ROWS:
+            one_hot = (flat_idx[:, None]
+                       == jnp.arange(t_rows, dtype=flat_idx.dtype)[None, :])
+            grad = jnp.einsum("nt,nc->tc", one_hot.astype(jnp.float32), g2,
+                              precision=jax.lax.Precision.HIGHEST)
+        else:
+            grad = jnp.zeros((t_rows, g2.shape[1]), jnp.float32
+                             ).at[flat_idx].add(g2)
+        return grad.reshape((t_rows,) + row_shape).astype(g.dtype), None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` with a dense (one-hot matmul) backward for small
+    tables. table: [T, ...C]; idx: int [...N]; returns [...N, ...C]."""
+    return _make_gather(table.shape[0])(table, idx)

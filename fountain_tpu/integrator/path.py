@@ -70,9 +70,17 @@ class PathConfig(NamedTuple):
 
 
 def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
-                     u_light, u_scatter, detach):
-    """One-light direct illumination with both MIS branches
-    (reference estimate_direct, integrator/mod.rs:307-395)."""
+                     u_light, u_scatter, detach, bsdf_branch: bool = True,
+                     active=None):
+    """One-light direct illumination (reference estimate_direct,
+    integrator/mod.rs:307-395).
+
+    With ``bsdf_branch=False`` only the light-sampling branch runs (one
+    shadow ray, no extra scene traversal); the BSDF-sampling MIS branch is
+    then the *continuation ray's* emission gather in the bounce loop —
+    the wavefront restructure that cuts traversal sweeps per bounce from
+    3 to 2. ``active`` feeds the sweep's dead-tile occupancy skip.
+    """
     wo_l = world_to_local(hit, hit.wo)
 
     # ---- light-sampling branch
@@ -94,7 +102,8 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
                           o_sh - ls.p_light))
     d_sh = target - o_sh
     t_max = jnp.where(possible, 1.0 - SHADOW_EPSILON, -1.0)  # skip dead lanes
-    occluded = scene_intersect_any(scene, o_sh, d_sh, t_max)
+    sh_active = possible if active is None else (possible & active)
+    occluded = scene_intersect_any(scene, o_sh, d_sh, t_max, active=sh_active)
     unocc = possible & ~occluded
 
     weight_l = jnp.where(ls.is_delta, 1.0,
@@ -105,6 +114,8 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
         f_cos * ls.radiance * (weight_l
                                / jnp.maximum(light_pdf_val, 1e-12))[..., None],
         0.0)
+    if not bsdf_branch:
+        return ld
 
     # ---- BSDF-sampling branch (skipped for delta lights, mod.rs:344-346)
     bs = bsdf_sample(sp, wo_l, u_scatter[0], u_scatter[1], u_scatter[2])
@@ -163,6 +174,11 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         # ray-cone width for texture filtering (reference texture
         # differentials, interaction.rs:123-173 → the cone approximation)
         cone_width=jnp.zeros(n, jnp.float32),
+        # BSDF pdf of the ray that produced the NEXT hit: the emission
+        # gather at that hit MIS-weights against it (the continuation ray
+        # doubles as the reference's estimate_direct BSDF-sample ray,
+        # integrator/mod.rs:346-391 — one traversal instead of two)
+        prev_pdf=jnp.ones(n, jnp.float32),
     )
     spread = jnp.zeros(n, jnp.float32) if cone_spread is None \
         else jnp.broadcast_to(cone_spread, n)
@@ -181,35 +197,68 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         rows = [st["o"].T, st["d"].T, st["beta"].T, st["radiance"].T,
                 st["cone_width"][None], st["active"][None].astype(jnp.float32),
                 st["specular"][None].astype(jnp.float32),
-                jnp.zeros((1,) + n, jnp.float32)]
+                st["prev_pdf"][None]]
         return jnp.concatenate(rows, axis=0)
 
     def _unpack(p, n_rays):
-        # o/d/cone never carry tangents (detached-sampling estimator:
-        # positions and directions are *choices*); detach them so packing
-        # them next to the differentiable beta/radiance rows doesn't
-        # spuriously extend the tangent graph into ray geometry
+        # o/d/cone/prev_pdf never carry tangents (detached-sampling
+        # estimator: positions, directions and pdfs are *choices*); detach
+        # them so packing them next to the differentiable beta/radiance
+        # rows doesn't spuriously extend the tangent graph into geometry
         sg = jax.lax.stop_gradient if detach_sampling else (lambda x: x)
         return dict(
             o=sg(p[0:3].T), d=sg(p[3:6].T), beta=p[6:9].T,
             radiance=p[9:12].T, cone_width=sg(p[12]), active=p[13] > 0.5,
-            specular=p[14] > 0.5, n_rays=n_rays)
+            specular=p[14] > 0.5, prev_pdf=sg(p[15]), n_rays=n_rays)
+
+    # the new-estimator MIS gather applies on path-mode NEE bounces
+    nee_gather = cfg.nee and n_lights > 0 and cfg.mode == "path"
 
     def bounce_body(bounce, st):
         t_max = jnp.where(st["active"], jnp.inf, -1.0)
-        hit = scene_intersect(scene, st["o"], st["d"], t_max)
+        hit = scene_intersect(scene, st["o"], st["d"], t_max,
+                              active=st["active"])
         if count_rays:
             st["n_rays"] = st["n_rays"] + jnp.sum(
                 st["active"].astype(st["n_rays"].dtype))
 
-        # --- emitted radiance (path.rs:43-51)
+        # --- emitted radiance. Full weight on camera/specular/null-NEE
+        # bounces (path.rs:43-51); on NEE bounces the continuation ray IS
+        # the BSDF-sampling MIS branch of the previous vertex's
+        # estimate_direct (integrator/mod.rs:346-391), so emission counts
+        # with the power-heuristic weight against the hit light's own
+        # sampling pdf — per-light weights sum to 1 with the NEE branch.
         gate = (bounce == 0) | st["specular"] | cfg.emit_all_bounces
-        add_emit = st["active"] & gate
         le_surf = emitted_radiance(scene, hit)
-        le_env = jnp.where(hit.valid[..., None], 0.0,
-                           environment_radiance(scene, st["d"]))
-        st["radiance"] = st["radiance"] + jnp.where(
-            add_emit[..., None], st["beta"] * (le_surf + le_env), 0.0)
+        if nee_gather:
+            lpdf_surf = detach(light_pdf(
+                scene, jnp.maximum(hit.light_id, 0), st["o"], st["d"],
+                hit=hit))
+            w_surf = jnp.where(
+                gate, 1.0,
+                power_heuristic(1, st["prev_pdf"], 1, lpdf_surf))
+            le_env = jnp.zeros_like(st["radiance"])
+            from fountain_tpu.lights.lights import environment_light_radiance
+            from fountain_tpu.scene.types import LIGHT_INFINITE
+            for k in range(n_lights):
+                pdf_k = detach(light_pdf(
+                    scene, jnp.full(lane.shape, k, jnp.int32), st["o"],
+                    st["d"]))
+                is_inf_k = scene.lights.ltype[k] == LIGHT_INFINITE
+                w_k = jnp.where(gate | ~is_inf_k, 1.0,
+                                power_heuristic(1, st["prev_pdf"], 1, pdf_k))
+                le_env = le_env + w_k[..., None] * environment_light_radiance(
+                    scene, k, st["d"])
+            le_env = jnp.where(hit.valid[..., None], 0.0, le_env)
+            st["radiance"] = st["radiance"] + jnp.where(
+                st["active"][..., None],
+                st["beta"] * (w_surf[..., None] * le_surf + le_env), 0.0)
+        else:
+            le_env = jnp.where(hit.valid[..., None], 0.0,
+                               environment_radiance(scene, st["d"]))
+            st["radiance"] = st["radiance"] + jnp.where(
+                (st["active"] & gate)[..., None],
+                st["beta"] * (le_surf + le_env), 0.0)
 
         # --- terminate: escaped or depth cap (path.rs:53-56)
         alive = st["active"] & hit.valid & (bounce < cfg.max_depth)
@@ -223,7 +272,11 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         sp = gather_shading(scene, hit, tex_width=tex_width)
         null_bsdf = alive & (sp.mtype < 0)
 
-        # --- NEE (path.rs:60-64) on lanes with non-specular lobes
+        # --- NEE (path.rs:60-64) on lanes with non-specular lobes.
+        # Path mode runs the light-sampling branch only (1 shadow ray);
+        # its MIS partner is the next bounce's emission gather (above).
+        # Direct mode keeps the reference's standalone BSDF-sample ray
+        # because non-specular continuation lanes terminate there.
         if cfg.nee and n_lights > 0 and cfg.mode != "whitted":
             u_sel = rng.uniform4(lane, sample, bounce * _SLOTS + _SLOT_LIGHT,
                                  seed)
@@ -235,12 +288,14 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
             # mask dead lanes by zeroing beta contribution
             direct = _estimate_direct(
                 scene, hit, sp, light_idx, n_lights,
-                (u_sel[1], u_sel[2]), (u_sc[0], u_sc[1], u_sc[2]), detach)
+                (u_sel[1], u_sel[2]), (u_sc[0], u_sc[1], u_sc[2]), detach,
+                bsdf_branch=(cfg.mode != "path"), active=nee_on)
             st["radiance"] = st["radiance"] + jnp.where(
                 nee_on[..., None],
                 st["beta"] * jnp.float32(n_lights) * direct, 0.0)
-            if count_rays:  # shadow ray + MIS-BSDF ray per NEE lane
-                st["n_rays"] = st["n_rays"] + 2 * jnp.sum(
+            if count_rays:  # shadow ray per NEE lane (+MIS ray in direct)
+                per_lane = 1 if cfg.mode == "path" else 2
+                st["n_rays"] = st["n_rays"] + per_lane * jnp.sum(
                     nee_on.astype(st["n_rays"].dtype))
         elif n_lights > 0 and cfg.mode == "whitted":
             # Whitted: loop over ALL lights, light sampling only, no MIS
@@ -300,6 +355,11 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         st["specular"] = jnp.where(null_bsdf, st["specular"],
                                    jnp.where(alive, bs.is_specular,
                                              st["specular"]))
+        # pdf of the continuation direction, for the next gather's MIS
+        # weight (null pass-through keeps the original vertex's pdf)
+        st["prev_pdf"] = jnp.where(null_bsdf, st["prev_pdf"],
+                                   jnp.where(alive, detach(bs.pdf),
+                                             st["prev_pdf"]))
         alive = alive & (null_bsdf | f_ok)
         if cfg.mode != "path":
             # direct/whitted continue only through specular lobes

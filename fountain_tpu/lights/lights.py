@@ -89,7 +89,8 @@ def emitted_radiance(scene: Scene, hit: Hit) -> jnp.ndarray:
     (reference SurfaceInteraction::emitted_radiance interaction.rs:175-180 →
     DiffuseAreaLight::emitted_radiance diffuse.rs:44-50, one-sided)."""
     lid = jnp.clip(hit.light_id, 0, max(scene.lights.count - 1, 0))
-    emit = scene.lights.emit[lid]
+    from fountain_tpu.core.gather import gather_rows
+    emit = gather_rows(scene.lights.emit, lid)
     visible = dot(hit.n, hit.wo) > 0.0
     on = (hit.light_id >= 0) & hit.valid & visible
     return jnp.where(on[..., None], emit, 0.0)
@@ -104,19 +105,28 @@ def environment_radiance(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:
     lt = scene.lights
     if lt.count == 0:
         return jnp.zeros(d.shape[:-1] + (3,), Float)
-    dn = normalize(d)
-    u, v = dir_to_env_uv(dn)
     total = jnp.zeros(d.shape[:-1] + (3,), Float)
     for i in range(lt.count):  # L is tiny & static; unrolled
-        is_inf = lt.ltype[i] == LIGHT_INFINITE
-        radiance = jnp.broadcast_to(lt.emit[i], d.shape[:-1] + (3,))
-        if scene.env_images is not None:
-            has_env = lt.env_tex[i] >= 0
-            tex_rgb = _eval_env_tex(
-                scene, jnp.broadcast_to(lt.env_tex[i], u.shape), u, v)
-            radiance = jnp.where(has_env, radiance * tex_rgb, radiance)
-        total = total + jnp.where(is_inf, radiance, 0.0)
+        total = total + environment_light_radiance(scene, i, d)
     return total
+
+
+def environment_light_radiance(scene: Scene, i: int, d: jnp.ndarray
+                               ) -> jnp.ndarray:
+    """Radiance of infinite light ``i`` alone for escaped rays in direction
+    d (zero when light i is not infinite). Split out so the integrator can
+    MIS-weight each env light against its own sampling pdf."""
+    lt = scene.lights
+    dn = normalize(d)
+    u, v = dir_to_env_uv(dn)
+    is_inf = lt.ltype[i] == LIGHT_INFINITE
+    radiance = jnp.broadcast_to(lt.emit[i], d.shape[:-1] + (3,))
+    if scene.env_images is not None:
+        has_env = lt.env_tex[i] >= 0
+        tex_rgb = _eval_env_tex(
+            scene, jnp.broadcast_to(lt.env_tex[i], u.shape), u, v)
+        radiance = jnp.where(has_env, radiance * tex_rgb, radiance)
+    return jnp.where(is_inf, radiance, 0.0)
 
 
 def _sphere_surface_at(scene: Scene, sphere_idx, p_obj_unit):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from fountain_tpu.core.gather import gather_rows
 from fountain_tpu.core.vecmath import Float
 from fountain_tpu.scene.types import (TEX_CHECKER, TEX_CONSTANT, TEX_IMAGE,
                                       TEX_SCALE, TEX_UV, Textures)
@@ -25,7 +26,7 @@ MAX_TEX_DEPTH = 3
 def _leaf_value(tex: Textures, tid, uv, tex_lookup=None, width=None):
     """Evaluate non-nesting texture types for per-lane ids `tid` at `uv`."""
     ttype = tex.ttype[tid]
-    value = tex.value[tid]
+    value = gather_rows(tex.value, tid)
     su, sv = tex.uv_scale[tid, 0], tex.uv_scale[tid, 1]
     du, dv = tex.uv_offset[tid, 0], tex.uv_offset[tid, 1]
     u = uv[..., 0] * su + du
@@ -78,7 +79,7 @@ def eval_texture(tex: Textures, tid: jnp.ndarray, uv: jnp.ndarray,
         nxt = jnp.where(is_checker,
                         jnp.where(checker_first, tex.sub_a[cur], tex.sub_b[cur]),
                         jnp.where(is_scale, tex.sub_a[cur], cur))
-        mult = jnp.where(is_scale[..., None], mult * tex.value[cur], mult)
+        mult = jnp.where(is_scale[..., None], mult * gather_rows(tex.value, cur), mult)
         cur = nxt.astype(jnp.int32)
 
     return mult * _leaf_value(tex, cur, uv, tex_lookup=tex_lookup,

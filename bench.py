@@ -96,9 +96,7 @@ def main():
         px = (lane % res).astype(jnp.float32)
         py = (lane // res).astype(jnp.float32)
         u = rng.uniform4(lane, 0, DIM_CAMERA, seed)
-        p_film = jnp.stack([px + u[0], py + u[1]], axis=-1)
-        p_lens = jnp.stack([u[2], u[3]], axis=-1)
-        rays = generate_rays(cam, p_film, p_lens)
+        rays = generate_rays(cam, px + u[0], py + u[1], u[2], u[3])
         sample = jnp.zeros((n,), jnp.int32)
         return trace_paths(scene, rays.o, rays.d, lane, sample, cfg,
                            seed=seed, count_rays=count_rays)
@@ -115,7 +113,7 @@ def main():
         def loss_fn(tv):
             s = scene._replace(textures=scene.textures._replace(value=tv))
             radiance = wave_radiance(s, seed, False)
-            return jnp.mean(radiance)
+            return jnp.mean(radiance.sum()) / 3.0
         return jax.value_and_grad(loss_fn)(tex_value)
 
     rays_per_wave = int(count_fn(scene, jnp.int32(0)))

@@ -53,3 +53,23 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``table[idx]`` with a dense (one-hot matmul) backward for small
     tables. table: [T, ...C]; idx: int [...N]; returns [...N, ...C]."""
     return _make_gather(table.shape[0])(table, idx)
+
+
+def gather_rows3(table: jnp.ndarray, idx: jnp.ndarray):
+    """Gather a [T, 3] table into a component-SoA V3 of flat [N] arrays.
+
+    Three per-column gathers instead of one [N, 3] row gather: the [N, 3]
+    result would be padded 42.7x by TPU (8,128) tiling when materialized
+    (see core.vecmath.V3); per-component [N] outputs tile perfectly. Each
+    column keeps the dense one-hot backward for small tables.
+    """
+    from fountain_tpu.core.vecmath import V3
+    g = _make_gather(table.shape[0])
+    return V3(g(table[:, 0], idx), g(table[:, 1], idx), g(table[:, 2], idx))
+
+
+def take3(table: jnp.ndarray, idx: jnp.ndarray):
+    """Non-custom-vjp variant of gather_rows3 for large tables (atlas
+    texels): per-component gathers with the default scatter-add backward."""
+    from fountain_tpu.core.vecmath import V3
+    return V3(table[idx, 0], table[idx, 1], table[idx, 2])

@@ -14,7 +14,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from fountain_tpu.core.vecmath import (Float, PI, INV_PI, PI_OVER_2,
-                                       PI_OVER_4, vec)
+                                       PI_OVER_4, V3, vec)
 
 
 def concentric_sample_disk(u1, u2):
@@ -42,7 +42,7 @@ def cosine_sample_hemisphere(u1, u2):
     """Cosine-weighted hemisphere about +z (reference sampling.rs:21-25)."""
     x, y = concentric_sample_disk(u1, u2)
     z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
-    return vec(x, y, z)
+    return V3(x, y, z)
 
 
 def cosine_hemisphere_pdf(cos_theta):
@@ -54,7 +54,7 @@ def uniform_sample_sphere(u1, u2):
     z = 1.0 - 2.0 * u1
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     phi = 2.0 * PI * u2
-    return vec(r * jnp.cos(phi), r * jnp.sin(phi), z)
+    return V3(r * jnp.cos(phi), r * jnp.sin(phi), z)
 
 
 UNIFORM_SPHERE_PDF = 1.0 / (4.0 * PI)
@@ -65,7 +65,7 @@ def uniform_sample_hemisphere(u1, u2):
     z = u1
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     phi = 2.0 * PI * u2
-    return vec(r * jnp.cos(phi), r * jnp.sin(phi), z)
+    return V3(r * jnp.cos(phi), r * jnp.sin(phi), jnp.broadcast_to(z, jnp.shape(r)))
 
 
 def uniform_sample_triangle(u1, u2):
@@ -79,7 +79,7 @@ def uniform_sample_cone(u1, u2, cos_theta_max):
     cos_theta = (1.0 - u1) + u1 * cos_theta_max
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
     phi = 2.0 * PI * u2
-    return vec(jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta)
+    return V3(jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta)
 
 
 def uniform_cone_pdf(cos_theta_max):

@@ -170,3 +170,51 @@ def transform_vector_with_error(t: Transform, v: jnp.ndarray):
     abs_m = jnp.abs(t.m[..., :3, :3])
     err = gamma(3) * jnp.einsum("...ij,...j->...i", abs_m, jnp.abs(v))
     return vt, err
+
+
+# --- component-SoA (V3) variants for shared (unbatched [4,4]) transforms ---
+# The wavefront hot path keeps vectors as three flat [N] arrays
+# (core.vecmath.V3, zero tile padding); a shared camera/object matrix is 16
+# scalars, so applying it is 9 fused multiply-adds per lane with no einsum.
+
+
+def transform_point_v3(t: Transform, p):
+    from fountain_tpu.core.vecmath import V3
+    m = t.m
+    x = m[0, 0] * p.x + m[0, 1] * p.y + m[0, 2] * p.z + m[0, 3]
+    y = m[1, 0] * p.x + m[1, 1] * p.y + m[1, 2] * p.z + m[1, 3]
+    z = m[2, 0] * p.x + m[2, 1] * p.y + m[2, 2] * p.z + m[2, 3]
+    hw = m[3, 0] * p.x + m[3, 1] * p.y + m[3, 2] * p.z + m[3, 3]
+    inv = 1.0 / jnp.where(hw == 0.0, 1.0, hw)
+    return V3(x * inv, y * inv, z * inv)
+
+
+def transform_vector_v3(t: Transform, v):
+    from fountain_tpu.core.vecmath import V3
+    m = t.m
+    return V3(m[0, 0] * v.x + m[0, 1] * v.y + m[0, 2] * v.z,
+              m[1, 0] * v.x + m[1, 1] * v.y + m[1, 2] * v.z,
+              m[2, 0] * v.x + m[2, 1] * v.y + m[2, 2] * v.z)
+
+
+def transform_normal_v3(t: Transform, n):
+    """Normals transform by the inverse transpose (transform.rs:133-139)."""
+    from fountain_tpu.core.vecmath import V3
+    mi = t.m_inv
+    return V3(mi[0, 0] * n.x + mi[1, 0] * n.y + mi[2, 0] * n.z,
+              mi[0, 1] * n.x + mi[1, 1] * n.y + mi[2, 1] * n.z,
+              mi[0, 2] * n.x + mi[1, 2] * n.y + mi[2, 2] * n.z)
+
+
+def transform_point_with_error_v3(t: Transform, p):
+    """V3 variant of tf_exact_to_err (transform.rs:181-211): returns
+    (point, abs error) both V3."""
+    from fountain_tpu.core.vecmath import V3
+    pt = transform_point_v3(t, p)
+    am = jnp.abs(t.m)
+    ax, ay, az = jnp.abs(p.x), jnp.abs(p.y), jnp.abs(p.z)
+    ex = am[0, 0] * ax + am[0, 1] * ay + am[0, 2] * az + am[0, 3]
+    ey = am[1, 0] * ax + am[1, 1] * ay + am[1, 2] * az + am[1, 3]
+    ez = am[2, 0] * ax + am[2, 1] * ay + am[2, 2] * az + am[2, 3]
+    g = gamma(3)
+    return pt, V3(g * ex, g * ey, g * ez)

@@ -21,8 +21,9 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
 from fountain_tpu.core import transform as tf
-from fountain_tpu.core.vecmath import (Float, PI, cross, dot, gamma, length,
-                                       normalize, offset_ray_origin, vec)
+from fountain_tpu.core.vecmath import (Float, PI, V3, cross, dot, gamma,
+                                       length, normalize, offset_ray_origin,
+                                       v3_from, vec, where3, zeros3)
 from fountain_tpu.scene.types import Scene, Spheres
 
 # Primitive kind codes in Hit.prim_kind
@@ -44,17 +45,21 @@ def _use_pallas() -> bool:
 
 class Hit(NamedTuple):
     """SoA surface-interaction record (reference SurfaceInteraction,
-    src/interaction.rs:60-84, flattened over the wavefront)."""
+    src/interaction.rs:60-84, flattened over the wavefront).
+
+    All vectors are component-SoA ``V3`` (three flat [N] arrays) and uv is
+    two flat [N] arrays — zero TPU tile padding (see core.vecmath.V3)."""
     valid: jnp.ndarray      # [N] bool
     t: jnp.ndarray          # [N]
-    p: jnp.ndarray          # [N, 3]
-    p_err: jnp.ndarray      # [N, 3]
-    n: jnp.ndarray          # [N, 3] geometric normal (orientation-flipped)
-    ns: jnp.ndarray         # [N, 3] shading normal
-    ss: jnp.ndarray         # [N, 3] shading tangent (normalized dpdu)
-    ts: jnp.ndarray         # [N, 3] shading bitangent
-    uv: jnp.ndarray         # [N, 2]
-    wo: jnp.ndarray         # [N, 3]
+    p: V3
+    p_err: V3
+    n: V3                   # geometric normal (orientation-flipped)
+    ns: V3                  # shading normal
+    ss: V3                  # shading tangent (normalized dpdu)
+    ts: V3                  # shading bitangent
+    u: jnp.ndarray          # [N]
+    v: jnp.ndarray          # [N]
+    wo: V3
     prim_kind: jnp.ndarray  # [N] int32
     prim_id: jnp.ndarray    # [N] int32
     mat_id: jnp.ndarray     # [N] int32 (-1 => null bsdf / pass-through)
@@ -65,7 +70,7 @@ class Hit(NamedTuple):
     inv_uv_scale: jnp.ndarray = None  # [N]
 
 
-def spawn_ray(hit: Hit, d: jnp.ndarray) -> jnp.ndarray:
+def spawn_ray(hit: Hit, d: V3) -> V3:
     """Robust secondary-ray origin (reference SurfaceHit::spawn_ray,
     src/interaction.rs:22-35)."""
     return offset_ray_origin(hit.p, hit.p_err, hit.n, d)
@@ -193,12 +198,13 @@ def sphere_hit_info(sph: Spheres, idx: jnp.ndarray, o_w, d_w, t, valid):
     ss = jnp.where(bad, alt_ss, ss)
     ts = jnp.where(bad, alt_ts, normalize(ts))
 
-    wo = normalize(-d_w)
+    wo = normalize(-v3_from(d_w))
     inv_uv = jnp.maximum(1.0 / jnp.maximum(length(dpdu_w), 1e-12),
                          1.0 / jnp.maximum(length(dpdv_w), 1e-12))
     return Hit(
-        valid=valid, t=t, p=p_w, p_err=p_err, n=n_w, ns=ns, ss=ss, ts=ts,
-        uv=jnp.stack([u, v], axis=-1), wo=wo,
+        valid=valid, t=t, p=v3_from(p_w), p_err=v3_from(p_err),
+        n=v3_from(n_w), ns=v3_from(ns), ss=v3_from(ss), ts=v3_from(ts),
+        u=u, v=v, wo=wo,
         prim_kind=jnp.where(valid, PRIM_SPHERE, PRIM_NONE).astype(jnp.int32),
         prim_id=idx.astype(jnp.int32),
         mat_id=jnp.where(valid, g(sph.mat_id), -1).astype(jnp.int32),
@@ -207,21 +213,19 @@ def sphere_hit_info(sph: Spheres, idx: jnp.ndarray, o_w, d_w, t, valid):
     )
 
 
-def miss_hit(o_w, d_w) -> Hit:
+def miss_hit(o: V3, d: V3) -> Hit:
     """All-invalid Hit wave (e.g. for sphere-less scenes)."""
-    n = o_w.shape[:-1]
-    z3 = jnp.zeros(n + (3,), Float)
+    n = o.shape
+    z = jnp.zeros(n, Float)
+    one = jnp.ones(n, Float)
     zi = jnp.zeros(n, jnp.int32)
-    up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], Float), n + (3,))
     return Hit(valid=jnp.zeros(n, bool), t=jnp.full(n, jnp.inf, Float),
-               p=z3, p_err=z3, n=up, ns=up,
-               ss=jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], Float),
-                                   n + (3,)),
-               ts=jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], Float),
-                                   n + (3,)),
-               uv=jnp.zeros(n + (2,), Float), wo=normalize(-d_w),
+               p=zeros3(n), p_err=zeros3(n),
+               n=V3(z, z, one), ns=V3(z, z, one),
+               ss=V3(one, z, z), ts=V3(z, one, z),
+               u=z, v=z, wo=normalize(-d),
                prim_kind=zi, prim_id=zi, mat_id=zi - 1, light_id=zi - 1,
-               inv_uv_scale=jnp.zeros(n, Float))
+               inv_uv_scale=z)
 
 
 def scene_intersect(scene: Scene, o_w, d_w, t_max, active=None) -> Hit:
@@ -236,17 +240,29 @@ def scene_intersect(scene: Scene, o_w, d_w, t_max, active=None) -> Hit:
 
     ``active`` (optional [N] bool): lanes that still need a result; lets the
     Pallas path sort dead lanes last and skip whole ray tiles.
+
+    o_w/d_w are V3 (component SoA); array-based backends (sphere table,
+    tensor/BVH fallbacks) convert at their boundary.
     """
+    o_a = d_a = None  # lazy [N,3] conversion for array-based backends
+
+    def arrays():
+        nonlocal o_a, d_a
+        if o_a is None:
+            o_a, d_a = o_w.stack(), d_w.stack()
+        return o_a, d_a
+
     if scene.spheres.count == 0:
         hit = miss_hit(o_w, d_w)
         ok_s = hit.valid
         t_s = hit.t
     else:
-        t_s, idx_s, ok_s = intersect_spheres(scene.spheres, o_w, d_w, t_max)
+        oa, da = arrays()
+        t_s, idx_s, ok_s = intersect_spheres(scene.spheres, oa, da, t_max)
         t_s = checkpoint_name(t_s, "isect")
         idx_s = checkpoint_name(idx_s, "isect")
         ok_s = checkpoint_name(ok_s, "isect")
-        hit = sphere_hit_info(scene.spheres, idx_s, o_w, d_w,
+        hit = sphere_hit_info(scene.spheres, idx_s, oa, da,
                               jnp.where(ok_s, t_s, t_max), ok_s)
     if scene.triangles.count > 0:
         from fountain_tpu.geometry.triangle import (intersect_triangles,
@@ -258,16 +274,18 @@ def scene_intersect(scene: Scene, o_w, d_w, t_max, active=None) -> Hit:
                                                    cap, active=active)
         elif scene.tri_features is not None:
             from fountain_tpu.geometry.tensor_tri import mt_intersect
-            t_t, idx_t, ok_t = mt_intersect(scene.tri_features, o_w, d_w,
-                                            cap)
+            oa, da = arrays()
+            t_t, idx_t, ok_t = mt_intersect(scene.tri_features, oa, da, cap)
         elif scene.bvh_meta is not None:
             from fountain_tpu.geometry.bvh import bvh_intersect
+            oa, da = arrays()
             t_t, idx_t, ok_t = bvh_intersect(
                 scene.triangles, scene.bvh_nodes_min, scene.bvh_nodes_max,
-                scene.bvh_meta, o_w, d_w, cap,
+                scene.bvh_meta, oa, da, cap,
                 nodes8=scene.bvh_nodes8, tri_verts=scene.bvh_tri_verts)
         else:
-            t_t, idx_t, ok_t = intersect_triangles(scene.triangles, o_w, d_w,
+            oa, da = arrays()
+            t_t, idx_t, ok_t = intersect_triangles(scene.triangles, oa, da,
                                                    cap)
         t_t = checkpoint_name(t_t, "isect")
         idx_t = checkpoint_name(idx_t, "isect")
@@ -281,20 +299,30 @@ def scene_intersect(scene: Scene, o_w, d_w, t_max, active=None) -> Hit:
 
 
 def select_hit(mask: jnp.ndarray, a: Hit, b: Hit) -> Hit:
-    """Per-lane select between two Hit records (mask True -> a)."""
-    out = []
-    for fa, fb in zip(a, b):
-        m = mask
-        while m.ndim < fa.ndim:
-            m = m[..., None]
-        out.append(jnp.where(m, fa, fb))
-    return Hit(*out)
+    """Per-lane select between two Hit records (mask True -> a).
+
+    Every leaf is a flat [N] array (V3 components included), so this is a
+    plain tree of same-shape wheres."""
+    import jax
+    return jax.tree.map(lambda fa, fb: jnp.where(mask, fa, fb), a, b)
 
 
-def scene_intersect_any(scene: Scene, o_w, d_w, t_max,
+def scene_intersect_any(scene: Scene, o_w: V3, d_w: V3, t_max,
                         active=None) -> jnp.ndarray:
     """Occlusion query (reference Scene::intersect_test, scene/mod.rs:55-57)."""
-    blocked = intersect_spheres_any(scene.spheres, o_w, d_w, t_max)
+    o_a = d_a = None
+
+    def arrays():
+        nonlocal o_a, d_a
+        if o_a is None:
+            o_a, d_a = o_w.stack(), d_w.stack()
+        return o_a, d_a
+
+    if scene.spheres.count == 0:
+        blocked = jnp.zeros(o_w.shape, bool)
+    else:
+        oa, da = arrays()
+        blocked = intersect_spheres_any(scene.spheres, oa, da, t_max)
     if scene.triangles.count > 0:
         if scene.tri_qfeat is not None and _use_pallas():
             from fountain_tpu.geometry.pallas_tri import mt_intersect_pallas
@@ -303,17 +331,20 @@ def scene_intersect_any(scene: Scene, o_w, d_w, t_max,
                                                     active=active)
         elif scene.tri_features is not None:
             from fountain_tpu.geometry.tensor_tri import mt_intersect
-            _, _, tri_blocked = mt_intersect(scene.tri_features, o_w, d_w,
+            oa, da = arrays()
+            _, _, tri_blocked = mt_intersect(scene.tri_features, oa, da,
                                              t_max, any_hit=True)
         elif scene.bvh_meta is not None:
             from fountain_tpu.geometry.bvh import bvh_intersect
+            oa, da = arrays()
             _, _, tri_blocked = bvh_intersect(
                 scene.triangles, scene.bvh_nodes_min, scene.bvh_nodes_max,
-                scene.bvh_meta, o_w, d_w, t_max, any_hit=True,
+                scene.bvh_meta, oa, da, t_max, any_hit=True,
                 nodes8=scene.bvh_nodes8, tri_verts=scene.bvh_tri_verts)
         else:
             from fountain_tpu.geometry.triangle import intersect_triangles_any
-            tri_blocked = intersect_triangles_any(scene.triangles, o_w, d_w,
+            oa, da = arrays()
+            tri_blocked = intersect_triangles_any(scene.triangles, oa, da,
                                                   t_max)
         blocked = blocked | tri_blocked
     return checkpoint_name(blocked, "isect")

@@ -6,30 +6,38 @@ matmul, the acceptance epilogue, and the running per-ray (t, index) min
 inside VMEM — the pair matrix never leaves the chip (the same fusion
 structure as flash attention).
 
-Grid layout (round 2): ``(face superblocks, ray tiles)`` with the
-superblock axis OUTER, so the bf16 feature table streams HBM→VMEM once
-per superblock (not once per ray tile) and scenes far beyond the VMEM
-budget traverse at full speed — the two-level analog of the reference's
-BVH early-out (bvh.rs:176). Each grid step writes its own per-superblock
-partial (t, idx) block — no state crosses grid steps (cross-step carries
-via input/output aliasing proved racy on this backend) — and a cheap XLA
-min over the superblock axis finishes the reduction.
+Grid layout: ``(face superblocks, ray tiles)`` with the superblock axis
+OUTER, so the bf16 feature table streams HBM→VMEM once per superblock
+(not once per ray tile) and scenes far beyond the VMEM budget traverse at
+full speed — the two-level analog of the reference's BVH early-out
+(bvh.rs:176). Each grid step writes its own per-superblock partial
+(t, idx) block — no state crosses grid steps (cross-step carries via
+input/output aliasing proved racy on this backend) — and a cheap XLA min
+over the superblock axis finishes the reduction.
 
-Precision (round 2): every Möller–Trumbore quantity is a K=10 dot, so
-the MXU's K=128 systolic depth is mostly idle. The three-way bf16 split
-(hi+mid+lo recovers all 24 f32 mantissa bits) is folded INTO the K axis:
-the 6 significant cross terms hh,hm,mh,hl,mm,lh become one K=96 bf16
-dot — full f32 fidelity in ONE MXU pass instead of HIGHEST's six.
-Measured on the 100k-interior-ray watertight gate: 0 leaks, t relative
-error ~1e-7 (same as HIGHEST), ~2x faster sweeps.
+Precision: every Möller–Trumbore quantity is a K=10 dot, so the MXU's
+K=128 systolic depth is mostly idle. The three-way bf16 split (hi+mid+lo
+recovers all 24 f32 mantissa bits) is folded INTO the K axis: the 6
+significant cross terms hh,hm,mh,hl,mm,lh become one K=96 bf16 dot —
+full f32 fidelity in ONE MXU pass instead of HIGHEST's six. Measured on
+the 100k-interior-ray watertight gate: 0 leaks, t relative error ~1e-7
+(same as HIGHEST), ~2x faster sweeps.
 
-Occupancy (round 2): a scalar-prefetched ``n_active`` ray count lets
-whole ray tiles skip all traversal work; callers sort the wavefront with
-dead lanes last (sort_keys with the active mask) so terminated lanes
-cluster into skippable tiles.
+Layout (round 3): rays enter as component-SoA V3 (flat [N] arrays, zero
+tile padding — see core.vecmath.V3); the bf16x6 ray features are built
+INSIDE the kernel from the 8-column aux block (no [N, 96] HBM array),
+and the per-superblock (t, idx) partials are written as [S, tiles, BN]
+(BN on the 128-lane axis) instead of [S, N, 1] (whose trailing 1 padded
+the output 128x in HBM).
 
-HBM traffic per sweep: rays once + feature table once per superblock +
-(t, idx) once per superblock — the pair matrices never leave VMEM.
+Occupancy: a scalar-prefetched ``n_active`` ray count lets whole ray
+tiles skip all traversal work; callers sort the wavefront with dead lanes
+last (sort_keys with the active mask) so terminated lanes cluster into
+skippable tiles.
+
+HBM traffic per sweep: rays once per superblock + feature table once per
+superblock + (t, idx) once per superblock — pair matrices never leave
+VMEM.
 
 Derivation and epsilon policy: see tensor_tri.py (identical math; the
 watertight REL_EPS edge expansion is shared via the packed features).
@@ -45,7 +53,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fountain_tpu.core.vecmath import Float, cross
+from fountain_tpu.core.vecmath import V3, cross
 from fountain_tpu.geometry.tensor_tri import REL_EPS
 
 BN = 512     # rays per grid tile
@@ -127,32 +135,16 @@ def pack_block_bounds(tri_verts: np.ndarray) -> jnp.ndarray:
     return pack_features_pallas(tri_verts)[1]
 
 
-def _split3_jnp(x: jnp.ndarray):
-    # optimization_barrier: XLA's algebraic simplifier folds the
-    # f32->bf16->f32 round trip to the identity in some fusion contexts
-    # (observed on-device when a gather feeds x), which silently collapses
-    # the split to hi-only (mid = lo = 0) and bf16-level acceptance errors
-    barrier = jax.lax.optimization_barrier
-    hi = barrier(x.astype(jnp.bfloat16))
+def _split3_cols(x):
+    """In-kernel three-way bf16 split of a [BN, _K] f32 block."""
+    hi = x.astype(jnp.bfloat16)
     r = x - hi.astype(jnp.float32)
-    mid = barrier(r.astype(jnp.bfloat16))
+    mid = r.astype(jnp.bfloat16)
     lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, mid, lo
 
 
-def _ray_features96(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    """[N, 96] bf16 split ray features R = [d, o×d, o, 1, 0...] paired
-    against the table layout (see _RF_SPLITS)."""
-    oxd = cross(o, d)
-    one = jnp.ones(o.shape[:-1] + (1,), Float)
-    rf = jnp.concatenate(
-        [d, oxd, o, one, jnp.zeros(o.shape[:-1] + (_K - 10,), Float)],
-        axis=-1)
-    splits = _split3_jnp(rf)
-    return jnp.concatenate([splits[i] for i in _RF_SPLITS], axis=-1)
-
-
-def _kernel(nact_ref, aux_ref, rf_ref, feat_ref, aabb_ref, sb_ref,
+def _kernel(nact_ref, aux_ref, feat_ref, aabb_ref, sb_ref,
             t_ref, idx_ref, *, nb: int, t_eps: float):
     i = pl.program_id(1)
     s = pl.program_id(0)
@@ -164,7 +156,20 @@ def _kernel(nact_ref, aux_ref, rf_ref, feat_ref, aabb_ref, sb_ref,
         o = aux[:, 0:3]
         d = aux[:, 3:6]
         inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
-        rf = rf_ref[...]                      # [BN, 96] bf16
+
+        # bf16x6 ray features built in VMEM (R = [d, o×d, o, 1, 0...]):
+        # no [N, 96] HBM array, ~BN*16 VPU flops per tile
+        ox, oy, oz = aux[:, 0:1], aux[:, 1:2], aux[:, 2:3]
+        dx, dy, dz = aux[:, 3:4], aux[:, 4:5], aux[:, 5:6]
+        cxd = jnp.concatenate(
+            [oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx],
+            axis=1)                           # [BN, 3]
+        ones = jnp.ones((aux.shape[0], 1), jnp.float32)
+        zeros = jnp.zeros((aux.shape[0], _K - 10), jnp.float32)
+        rf32 = jnp.concatenate([d, cxd, o, ones, zeros], axis=1)  # [BN, 16]
+        sp = _split3_cols(rf32)
+        rf = jnp.concatenate([sp[k] for k in _RF_SPLITS], axis=1)  # [BN, 96]
+
         # per-superblock partial best: every (s, i) grid step owns its own
         # output block, so no state crosses grid steps (cross-step carries
         # via input/output aliasing proved unreliable — stale in interpret
@@ -235,20 +240,24 @@ def _kernel(nact_ref, aux_ref, rf_ref, feat_ref, aabb_ref, sb_ref,
             jnp.any(sb_hit),
             lambda cr: jax.lax.fori_loop(0, nb, body, cr),
             lambda cr: cr, carry0)
-        t_ref[0, :, :] = t_best
-        idx_ref[0, :, :] = i_best
+        # the output block is the full [tiles, BN] slab for this superblock
+        # (kept VMEM-resident across the inner tile loop; a [1, 1, BN]
+        # block is not a legal Mosaic tiling — sublane dim 1 < 8): each
+        # tile writes its own row
+        t_ref[0, i, :] = t_best[:, 0]
+        idx_ref[0, i, :] = i_best[:, 0]
 
     @pl.when(jnp.logical_not(live))
     def _skip():
         # dead tile: no hit
-        t_ref[0, :, :] = jnp.full((aux_ref.shape[0], 1), 3e38, jnp.float32)
-        idx_ref[0, :, :] = jnp.full((aux_ref.shape[0], 1), -1, jnp.int32)
+        t_ref[0, i, :] = jnp.full((aux_ref.shape[0],), 3e38, jnp.float32)
+        idx_ref[0, i, :] = jnp.full((aux_ref.shape[0],), -1, jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("t_eps", "interpret"))
-def _sweep(n_active, aux, rf, feat, aabb, sb_aabb, t_eps: float = 1e-4,
+def _sweep(n_active, aux, feat, aabb, sb_aabb, t_eps: float = 1e-4,
            interpret: bool = False):
-    n = rf.shape[0]
+    n = aux.shape[0]
     n_tiles = n // BN
     s_blocks = feat.shape[0]
     nb = feat.shape[-1] // BC
@@ -258,75 +267,82 @@ def _sweep(n_active, aux, rf, feat, aabb, sb_aabb, t_eps: float = 1e-4,
         grid=(s_blocks, n_tiles),
         in_specs=[
             pl.BlockSpec((BN, 8), lambda s, i, *_: (i, 0)),      # aux
-            pl.BlockSpec((BN, _K6), lambda s, i, *_: (i, 0)),    # rf
             pl.BlockSpec((1, 4, _K6, SB), lambda s, i, *_: (s, 0, 0, 0)),
             pl.BlockSpec((1, nb, 8), lambda s, i, *_: (s, 0, 0)),  # aabb
             pl.BlockSpec((1, 1, 8), lambda s, i, *_: (s, 0, 0)),   # sb aabb
         ],
         out_specs=[
-            pl.BlockSpec((1, BN, 1), lambda s, i, *_: (s, i, 0)),
-            pl.BlockSpec((1, BN, 1), lambda s, i, *_: (s, i, 0)),
+            pl.BlockSpec((1, n_tiles, BN), lambda s, i, *_: (s, 0, 0)),
+            pl.BlockSpec((1, n_tiles, BN), lambda s, i, *_: (s, 0, 0)),
         ],
     )
+    # outputs [S, tiles, BN]: BN on the lane axis (zero padding); the old
+    # [S, N, 1] layout padded the trailing 1 to 128 lanes (128x HBM)
     t_part, i_part = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((s_blocks, n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((s_blocks, n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((s_blocks, n_tiles, BN), jnp.float32),
+            jax.ShapeDtypeStruct((s_blocks, n_tiles, BN), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(n_active, aux, rf, feat, aabb, sb_aabb)
+    )(n_active, aux, feat, aabb, sb_aabb)
+    tp = t_part.reshape(s_blocks, n)
+    ip = i_part.reshape(s_blocks, n)
+    if s_blocks == 1:
+        return tp[0], ip[0]
     # min over the superblock axis (ties -> lowest s -> lowest face index,
     # matching the tensor path's first-argmin convention)
-    tp, ip = t_part[..., 0], i_part[..., 0]            # [S, n]
     s_star = jnp.argmin(tp, axis=0)[None]              # [1, n]
     t = jnp.take_along_axis(tp, s_star, axis=0)[0]
     idx = jnp.take_along_axis(ip, s_star, axis=0)[0]
-    return t[:, None], idx[:, None]
+    return t, idx
 
 
 def _morton16(q: jnp.ndarray) -> jnp.ndarray:
-    """Interleave the low 5 bits of q[..., 0:3] into a 15-bit Morton code
+    """Interleave three 5-bit ints into a 15-bit Morton code
     (same bit trick as geometry.bvh.morton3, vectorized in jnp)."""
     def expand(v):
         v = (v | (v << 8)) & 0x100F
         v = (v | (v << 4)) & 0x10C3
         v = (v | (v << 2)) & 0x1249
         return v
-    return (expand(q[..., 2]) << 2) | (expand(q[..., 1]) << 1) \
-        | expand(q[..., 0])
+    qx, qy, qz = q
+    return (expand(qz) << 2) | (expand(qy) << 1) | expand(qx)
 
 
-def sort_keys(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+def sort_keys(o: V3, d: V3) -> jnp.ndarray:
     """Spatial-coherence sort key per ray: Morton(origin cell) in the high
     bits, Morton(direction octant cell) low — rays that start near each
     other and point the same way land in the same kernel tile, so the
     tile-level AABB cull (see _kernel body) actually prunes blocks.
     This is the wavefront analog of the tile decomposition the reference
     gets for free from its scanline tiles (integrator/mod.rs:199)."""
-    lo = jnp.min(o, axis=0)
-    hi = jnp.max(o, axis=0)
-    qo = jnp.clip(((o - lo) / jnp.maximum(hi - lo, 1e-12)) * 31.0,
-                  0.0, 31.0).astype(jnp.int32)
-    qd = jnp.clip((d * 0.5 + 0.5) * 31.0, 0.0, 31.0).astype(jnp.int32)
+    def qcell(c):
+        lo = jnp.min(c)
+        hi = jnp.max(c)
+        return jnp.clip((c - lo) / jnp.maximum(hi - lo, 1e-12) * 31.0,
+                        0.0, 31.0).astype(jnp.int32)
+    qo = (qcell(o.x), qcell(o.y), qcell(o.z))
+    qd = tuple(jnp.clip((c * 0.5 + 0.5) * 31.0, 0.0, 31.0).astype(jnp.int32)
+               for c in d)
     return (_morton16(qo) << 15) | _morton16(qd)
 
 
-def mt_intersect_pallas(qdata, o, d, t_max,
+def mt_intersect_pallas(qdata, o: V3, d: V3, t_max,
                         t_eps: float = 1e-4, any_hit: bool = False,
                         interpret: bool = False, sort: bool = True,
                         active=None):
     """Drop-in for tensor_tri.mt_intersect using the fused kernel.
 
-    qdata: pack_features_pallas output; o/d [N,3], t_max [N] (< 0 = lane
-    dead). With sort=True (default) the wavefront is Morton-reordered
-    before the sweep and the results scattered back — results are
-    bit-identical either way. ``active`` (optional [N] bool) sorts dead
-    lanes last and lets trailing ray tiles skip all work (wavefront
-    occupancy; the analog of the reference's per-lane break,
+    qdata: pack_features_pallas output; o/d component-SoA V3 of [N],
+    t_max [N] (< 0 = lane dead). With sort=True (default) the wavefront is
+    Morton-reordered before the sweep and the results scattered back —
+    results are bit-identical either way. ``active`` (optional [N] bool)
+    sorts dead lanes last and lets trailing ray tiles skip all work
+    (wavefront occupancy; the analog of the reference's per-lane break,
     path.rs:84-91).
     """
     qfeat, qaabb, qsb = qdata
@@ -334,37 +350,48 @@ def mt_intersect_pallas(qdata, o, d, t_max,
     npad = -(-n // BN) * BN
     # (t, idx) carry no gradient path to scene parameters; detach the ray
     # inputs so reverse-mode never tries to differentiate the kernel
-    o = jax.lax.stop_gradient(o)
-    d = jax.lax.stop_gradient(d)
-    t_max = jax.lax.stop_gradient(t_max)
+    sg = jax.lax.stop_gradient
+    o, d, t_max = sg(o), sg(d), sg(t_max)
     if active is not None:
-        active = jax.lax.stop_gradient(active)
+        active = sg(active)
+    # pack rays into [N, 8] rows BEFORE any permutation: a TPU gather's
+    # cost is per random index, not per byte (slice-1 gathers ~3 ms per
+    # 262k on this chip vs ~3 ms for a whole slice-8 ROW gather), so the
+    # sort applies one row gather instead of 7 flat ones
+    t_cap = jnp.where(jnp.isfinite(t_max), t_max, jnp.float32(3e38))
+    shape = t_cap.shape
+    aux = jnp.stack(
+        [jnp.broadcast_to(o.x, shape), jnp.broadcast_to(o.y, shape),
+         jnp.broadcast_to(o.z, shape), jnp.broadcast_to(d.x, shape),
+         jnp.broadcast_to(d.y, shape), jnp.broadcast_to(d.z, shape),
+         t_cap, jnp.zeros_like(t_cap)], axis=-1)
     perm = None
     if (sort or active is not None) and n > BN:
         key = sort_keys(o, d)
         if active is not None:
             key = jnp.where(active, key, jnp.int32(2**31 - 1))
         perm = jnp.argsort(key)
-        o, d, t_max = o[perm], d[perm], t_max[perm]
+        aux = aux[perm]                     # one [N, 8] row gather
     if active is None:
         n_active = jnp.full((1,), npad, jnp.int32)
     else:
         n_active = jnp.sum(active, dtype=jnp.int32)[None]
-    t_cap = jnp.where(jnp.isfinite(t_max), t_max, jnp.float32(3e38))
-    aux = jnp.concatenate(
-        [o, d, t_cap[:, None], jnp.zeros_like(t_cap[:, None])], axis=-1)
-    rf = _ray_features96(o, d)
     if npad != n:
-        rf = jnp.pad(rf, ((0, npad - n), (0, 0)))
         aux = jnp.pad(aux, ((0, npad - n), (0, 0)),
                       constant_values=-1.0)  # padded lanes: t_cap = -1
-    t, idx = _sweep(n_active, aux, rf, qfeat, qaabb, qsb, t_eps=t_eps,
+    t, idx = _sweep(n_active, aux, qfeat, qaabb, qsb, t_eps=t_eps,
                     interpret=interpret)
-    t = t[:n, 0]
-    idx = idx[:n, 0]
-    if perm is not None:  # scatter results back to wavefront order
-        inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n))
-        t, idx = t[inv], idx[inv]
+    t = t[:n]
+    idx = idx[:n]
+    if perm is not None:
+        # unsort via ONE row scatter of the packed (t, idx) pair. The pair
+        # travels as int32 (t bitcast): f32 transport would NaN-canonicalize
+        # idx = -1 (0xFFFFFFFF) on TPU and turn misses into hits.
+        pair = jnp.stack([jax.lax.bitcast_convert_type(t, jnp.int32), idx],
+                         axis=-1)           # [N, 2] i32
+        out = jnp.zeros_like(pair).at[perm].set(pair)
+        t = jax.lax.bitcast_convert_type(out[:, 0], jnp.float32)
+        idx = out[:, 1]
     found = idx >= 0
     idx = jnp.maximum(idx, 0)
     if any_hit:

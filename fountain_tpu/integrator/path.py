@@ -17,6 +17,11 @@ src/integrator/mod.rs:289-395):
 - every random number is a counter-based hash of
   (lane, sample, bounce, slot) — see core.rng.
 
+Layout: ALL per-lane state is flat [N] arrays (vectors as component-SoA
+V3 — see core.vecmath.V3). A [N, 3]-materializing formulation padded
+42.7x under TPU (8,128) tiling and was ~85% of the round-2 step time;
+flat [N] leaves also make the scan carry packing-free.
+
 Differentiability: sampled directions / discrete choices are detached
 (stop_gradient) so gradients flow through the integrand f·L·cos/pdf —
 the detached-sampling estimator. The reference has no gradient story.
@@ -35,8 +40,9 @@ import jax.numpy as jnp
 
 from fountain_tpu.core import rng
 from fountain_tpu.core.sampling import power_heuristic
-from fountain_tpu.core.vecmath import (SHADOW_EPSILON, absdot, dot,
-                                       normalize, offset_ray_origin)
+from fountain_tpu.core.vecmath import (SHADOW_EPSILON, V3, absdot, dot,
+                                       normalize, offset_ray_origin, where3,
+                                       zeros3)
 from fountain_tpu.geometry.intersect import (Hit, scene_intersect,
                                              scene_intersect_any, spawn_ray)
 from fountain_tpu.lights.lights import (emitted_radiance,
@@ -71,7 +77,7 @@ class PathConfig(NamedTuple):
 
 def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
                      u_light, u_scatter, detach, bsdf_branch: bool = True,
-                     active=None):
+                     active=None) -> V3:
     """One-light direct illumination (reference estimate_direct,
     integrator/mod.rs:307-395).
 
@@ -88,16 +94,16 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
     wi = detach(ls.wi)
     wi_l = world_to_local(hit, wi)
     f, scattering_pdf = bsdf_f_pdf(sp, wo_l, wi_l)
-    f_cos = f * absdot(wi, hit.ns)[..., None]
+    f_cos = f * absdot(wi, hit.ns)
     light_pdf_val = detach(ls.pdf)
 
-    possible = (light_pdf_val > 0.0) & jnp.any(ls.radiance > 0.0, -1) \
-        & jnp.any(f_cos > 0.0, -1)
+    possible = (light_pdf_val > 0.0) & ls.radiance.any_positive() \
+        & f_cos.any_positive()
     # shadow ray (VisibilityTester::unoccluded, light/mod.rs:82-85 →
     # spawn_ray_to_hit, interaction.rs:47-58)
     o_sh = offset_ray_origin(hit.p, hit.p_err, hit.n, wi)
-    target = jnp.where(
-        ls.is_infinite[..., None] | ls.is_delta[..., None], ls.p_light,
+    target = where3(
+        ls.is_infinite | ls.is_delta, ls.p_light,
         offset_ray_origin(ls.p_light, ls.p_light_err, ls.n_light,
                           o_sh - ls.p_light))
     d_sh = target - o_sh
@@ -109,10 +115,10 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
     weight_l = jnp.where(ls.is_delta, 1.0,
                          power_heuristic(1, light_pdf_val, 1,
                                          detach(scattering_pdf)))
-    ld = jnp.where(
-        unocc[..., None],
+    ld = where3(
+        unocc,
         f_cos * ls.radiance * (weight_l
-                               / jnp.maximum(light_pdf_val, 1e-12))[..., None],
+                               / jnp.maximum(light_pdf_val, 1e-12)),
         0.0)
     if not bsdf_branch:
         return ld
@@ -120,8 +126,8 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
     # ---- BSDF-sampling branch (skipped for delta lights, mod.rs:344-346)
     bs = bsdf_sample(sp, wo_l, u_scatter[0], u_scatter[1], u_scatter[2])
     wi_b = detach(local_to_world(hit, bs.wi))
-    f_b = bs.f * absdot(wi_b, hit.ns)[..., None]
-    bsdf_ok = bs.valid & ~ls.is_delta & jnp.any(f_b > 0.0, -1) & ~bs.is_specular
+    f_b = bs.f * absdot(wi_b, hit.ns)
+    bsdf_ok = bs.valid & ~ls.is_delta & f_b.any_positive() & ~bs.is_specular
 
     # trace the BSDF-sampled ray; count light only if we hit THIS light.
     # Traced BEFORE the light-pdf query: mesh area lights derive their pdf
@@ -133,40 +139,40 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
     bsdf_ok = bsdf_ok & (lpdf_b > 0.0)
     weight_b = power_heuristic(1, detach(bs.pdf), 1, detach(lpdf_b))
     same_light = hit_b.valid & (hit_b.light_id == light_idx)
-    li_surface = jnp.where(same_light[..., None],
-                           emitted_radiance(scene, hit_b), 0.0)
+    li_surface = where3(same_light, emitted_radiance(scene, hit_b), 0.0)
     from fountain_tpu.scene.types import LIGHT_INFINITE
     is_inf_light = scene.lights.ltype[
         jnp.clip(light_idx, 0, max(n_lights - 1, 0))] == LIGHT_INFINITE
-    li_env = jnp.where((~hit_b.valid & is_inf_light)[..., None],
-                       environment_radiance(scene, wi_b), 0.0)
+    li_env = where3(~hit_b.valid & is_inf_light,
+                    environment_radiance(scene, wi_b), 0.0)
     li = li_surface + li_env
-    lb = jnp.where(
-        bsdf_ok[..., None],
-        f_b * li * (weight_b / jnp.maximum(detach(bs.pdf), 1e-12))[..., None],
+    lb = where3(
+        bsdf_ok,
+        f_b * li * (weight_b / jnp.maximum(detach(bs.pdf), 1e-12)),
         0.0)
     return ld + lb
 
 
-def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
+def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
                 seed=0, detach_sampling: bool = True,
                 count_rays: bool = False, cone_spread=None):
-    """Trace one camera-path per lane; returns radiance [N, 3]
+    """Trace one camera-path per lane; returns radiance V3 over [N]
     (or (radiance, n_rays) with count_rays=True, where n_rays is the exact
     number of useful rays traced: one closest-hit per active lane per bounce
     plus shadow + MIS rays on NEE bounces — the benchmark accounting).
 
-    o, d: camera ray origins/directions [N,3]; lane/sample: int arrays [N]
-    feeding the counter-based RNG.
+    o, d: camera ray origins/directions (component-SoA V3 of [N]);
+    lane/sample: int arrays [N] feeding the counter-based RNG.
     """
     n_lights = scene.lights.count
     detach = jax.lax.stop_gradient if detach_sampling else (lambda x: x)
 
-    n = o.shape[:-1]
+    n = o.shape
+    ones = jnp.ones(n, jnp.float32)
     state = dict(
-        o=o, d=d,
-        beta=jnp.ones(n + (3,), jnp.float32),
-        radiance=jnp.zeros(n + (3,), jnp.float32),
+        ox=o.x, oy=o.y, oz=o.z, dx=d.x, dy=d.y, dz=d.z,
+        beta=V3(ones, ones, ones),
+        radiance=zeros3(n),
         active=jnp.ones(n, bool),
         specular=jnp.zeros(n, bool),
         n_rays=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64
@@ -183,41 +189,14 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
     spread = jnp.zeros(n, jnp.float32) if cone_spread is None \
         else jnp.broadcast_to(cone_spread, n)
 
-    # --- lane-major packed loop carry -------------------------------------
-    # TPU tiles f32 arrays as (8 sublanes, 128 lanes) with the LAST axis on
-    # lanes; a materialized [N,3] costs 42x (and [N,1] 128x) its logical
-    # size in HBM. Per-bounce state therefore crosses the scan boundary as
-    # ONE [16, N] array (rows = o,d,beta,radiance,cone,active,specular):
-    # 16 sublanes x N lanes tiles exactly, so the rematerialized backward
-    # pass saves 16MB/bounce instead of ~3GB. Inside the (fused) body the
-    # [N,3] convention is unchanged.
-    flat = len(n) == 1
-
-    def _pack(st):
-        rows = [st["o"].T, st["d"].T, st["beta"].T, st["radiance"].T,
-                st["cone_width"][None], st["active"][None].astype(jnp.float32),
-                st["specular"][None].astype(jnp.float32),
-                st["prev_pdf"][None]]
-        return jnp.concatenate(rows, axis=0)
-
-    def _unpack(p, n_rays):
-        # o/d/cone/prev_pdf never carry tangents (detached-sampling
-        # estimator: positions, directions and pdfs are *choices*); detach
-        # them so packing them next to the differentiable beta/radiance
-        # rows doesn't spuriously extend the tangent graph into geometry
-        sg = jax.lax.stop_gradient if detach_sampling else (lambda x: x)
-        return dict(
-            o=sg(p[0:3].T), d=sg(p[3:6].T), beta=p[6:9].T,
-            radiance=p[9:12].T, cone_width=sg(p[12]), active=p[13] > 0.5,
-            specular=p[14] > 0.5, prev_pdf=sg(p[15]), n_rays=n_rays)
-
     # the new-estimator MIS gather applies on path-mode NEE bounces
     nee_gather = cfg.nee and n_lights > 0 and cfg.mode == "path"
 
     def bounce_body(bounce, st):
+        ro = V3(st["ox"], st["oy"], st["oz"])
+        rd = V3(st["dx"], st["dy"], st["dz"])
         t_max = jnp.where(st["active"], jnp.inf, -1.0)
-        hit = scene_intersect(scene, st["o"], st["d"], t_max,
-                              active=st["active"])
+        hit = scene_intersect(scene, ro, rd, t_max, active=st["active"])
         if count_rays:
             st["n_rays"] = st["n_rays"] + jnp.sum(
                 st["active"].astype(st["n_rays"].dtype))
@@ -232,32 +211,29 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         le_surf = emitted_radiance(scene, hit)
         if nee_gather:
             lpdf_surf = detach(light_pdf(
-                scene, jnp.maximum(hit.light_id, 0), st["o"], st["d"],
-                hit=hit))
+                scene, jnp.maximum(hit.light_id, 0), ro, rd, hit=hit))
             w_surf = jnp.where(
                 gate, 1.0,
                 power_heuristic(1, st["prev_pdf"], 1, lpdf_surf))
-            le_env = jnp.zeros_like(st["radiance"])
+            le_env = zeros3(n)
             from fountain_tpu.lights.lights import environment_light_radiance
             from fountain_tpu.scene.types import LIGHT_INFINITE
             for k in range(n_lights):
                 pdf_k = detach(light_pdf(
-                    scene, jnp.full(lane.shape, k, jnp.int32), st["o"],
-                    st["d"]))
+                    scene, jnp.full(lane.shape, k, jnp.int32), ro, rd))
                 is_inf_k = scene.lights.ltype[k] == LIGHT_INFINITE
                 w_k = jnp.where(gate | ~is_inf_k, 1.0,
                                 power_heuristic(1, st["prev_pdf"], 1, pdf_k))
-                le_env = le_env + w_k[..., None] * environment_light_radiance(
-                    scene, k, st["d"])
-            le_env = jnp.where(hit.valid[..., None], 0.0, le_env)
-            st["radiance"] = st["radiance"] + jnp.where(
-                st["active"][..., None],
-                st["beta"] * (w_surf[..., None] * le_surf + le_env), 0.0)
+                le_env = le_env + environment_light_radiance(
+                    scene, k, rd) * w_k
+            le_env = where3(hit.valid, 0.0, le_env)
+            st["radiance"] = st["radiance"] + where3(
+                st["active"],
+                st["beta"] * (le_surf * w_surf + le_env), 0.0)
         else:
-            le_env = jnp.where(hit.valid[..., None], 0.0,
-                               environment_radiance(scene, st["d"]))
-            st["radiance"] = st["radiance"] + jnp.where(
-                (st["active"] & gate)[..., None],
+            le_env = where3(hit.valid, 0.0, environment_radiance(scene, rd))
+            st["radiance"] = st["radiance"] + where3(
+                st["active"] & gate,
                 st["beta"] * (le_surf + le_env), 0.0)
 
         # --- terminate: escaped or depth cap (path.rs:53-56)
@@ -290,9 +266,8 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
                 scene, hit, sp, light_idx, n_lights,
                 (u_sel[1], u_sel[2]), (u_sc[0], u_sc[1], u_sc[2]), detach,
                 bsdf_branch=(cfg.mode != "path"), active=nee_on)
-            st["radiance"] = st["radiance"] + jnp.where(
-                nee_on[..., None],
-                st["beta"] * jnp.float32(n_lights) * direct, 0.0)
+            st["radiance"] = st["radiance"] + where3(
+                nee_on, st["beta"] * direct * jnp.float32(n_lights), 0.0)
             if count_rays:  # shadow ray per NEE lane (+MIS ray in direct)
                 per_lane = 1 if cfg.mode == "path" else 2
                 st["n_rays"] = st["n_rays"] + per_lane * jnp.sum(
@@ -300,11 +275,9 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         elif n_lights > 0 and cfg.mode == "whitted":
             # Whitted: loop over ALL lights, light sampling only, no MIS
             # (reference whitted.rs:24-45)
-            u_sc = rng.uniform4(lane, sample, bounce * _SLOTS + _SLOT_LIGHT,
-                                seed)
             nee_on = alive & has_non_specular(sp) & ~null_bsdf
             wo_l_w = world_to_local(hit, hit.wo)
-            total = jnp.zeros_like(st["radiance"])
+            total = zeros3(n)
             for i in range(n_lights):
                 li = jnp.full(lane.shape, i, jnp.int32)
                 ui = rng.uniform4(lane, sample,
@@ -312,23 +285,22 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
                 ls = sample_light(scene, li, hit.p, ui[0], ui[1])
                 wi_l = world_to_local(hit, detach(ls.wi))
                 f, _ = bsdf_f_pdf(sp, wo_l_w, wi_l)
-                f_cos = f * absdot(detach(ls.wi), hit.ns)[..., None]
-                ok = (detach(ls.pdf) > 0.0) & jnp.any(f_cos > 0.0, -1) \
-                    & jnp.any(ls.radiance > 0.0, -1)
+                f_cos = f * absdot(detach(ls.wi), hit.ns)
+                ok = (detach(ls.pdf) > 0.0) & f_cos.any_positive() \
+                    & ls.radiance.any_positive()
                 o_sh = offset_ray_origin(hit.p, hit.p_err, hit.n,
                                          detach(ls.wi))
-                target = jnp.where(
-                    (ls.is_infinite | ls.is_delta)[..., None], ls.p_light,
+                target = where3(
+                    ls.is_infinite | ls.is_delta, ls.p_light,
                     offset_ray_origin(ls.p_light, ls.p_light_err,
                                       ls.n_light, o_sh - ls.p_light))
                 t_sh = jnp.where(ok, 1.0 - SHADOW_EPSILON, -1.0)
                 occ = scene_intersect_any(scene, o_sh, target - o_sh, t_sh)
                 contrib = f_cos * ls.radiance \
-                    / jnp.maximum(detach(ls.pdf), 1e-12)[..., None]
-                total = total + jnp.where((ok & ~occ)[..., None], contrib,
-                                          0.0)
-            st["radiance"] = st["radiance"] + jnp.where(
-                nee_on[..., None], st["beta"] * total, 0.0)
+                    * (1.0 / jnp.maximum(detach(ls.pdf), 1e-12))
+                total = total + where3(ok & ~occ, contrib, 0.0)
+            st["radiance"] = st["radiance"] + where3(
+                nee_on, st["beta"] * total, 0.0)
             if count_rays:
                 st["n_rays"] = st["n_rays"] + n_lights * jnp.sum(
                     nee_on.astype(st["n_rays"].dtype))
@@ -338,20 +310,19 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         wo_l = world_to_local(hit, hit.wo)
         bs = bsdf_sample(sp, wo_l, ub[0], ub[1], ub[2])
         wi_w = detach(normalize(local_to_world(hit, bs.wi)))
-        f_ok = bs.valid & jnp.any(bs.f != 0.0, -1)
+        f_ok = bs.valid & bs.f.any_nonzero()
         contrib = bs.f * (absdot(wi_w, hit.ns)
-                          / jnp.maximum(detach(bs.pdf), 1e-12))[..., None]
-        new_beta = st["beta"] * jnp.where(f_ok[..., None], contrib, 1.0)
+                          / jnp.maximum(detach(bs.pdf), 1e-12))
+        new_beta = st["beta"] * where3(f_ok, contrib, 1.0)
         new_o = spawn_ray(hit, wi_w)
 
         # null bsdf: pass through unchanged (see module docstring)
-        pass_o = offset_ray_origin(hit.p, hit.p_err, hit.n, st["d"])
-        st["o"] = jnp.where(null_bsdf[..., None], pass_o,
-                            jnp.where(alive[..., None], new_o, st["o"]))
-        st["d"] = jnp.where(null_bsdf[..., None], st["d"],
-                            jnp.where(alive[..., None], wi_w, st["d"]))
-        st["beta"] = jnp.where((alive & ~null_bsdf)[..., None], new_beta,
-                               st["beta"])
+        pass_o = offset_ray_origin(hit.p, hit.p_err, hit.n, rd)
+        new_ro = where3(null_bsdf, pass_o, where3(alive, new_o, ro))
+        new_rd = where3(null_bsdf, rd, where3(alive, wi_w, rd))
+        st["ox"], st["oy"], st["oz"] = new_ro.x, new_ro.y, new_ro.z
+        st["dx"], st["dy"], st["dz"] = new_rd.x, new_rd.y, new_rd.z
+        st["beta"] = where3(alive & ~null_bsdf, new_beta, st["beta"])
         st["specular"] = jnp.where(null_bsdf, st["specular"],
                                    jnp.where(alive, bs.is_specular,
                                              st["specular"]))
@@ -370,40 +341,44 @@ def trace_paths(scene: Scene, o, d, lane, sample, cfg: PathConfig,
         if cfg.rr_threshold > 0.0:
             u_rr = rng.uniform1(lane, sample, bounce * _SLOTS + _SLOT_RR,
                                 seed)
-            beta_max = detach(jnp.max(st["beta"], axis=-1))
+            beta_max = detach(st["beta"].max_component())
             do_rr = alive & (beta_max < cfg.rr_threshold) & (bounce > 3)
             q = jnp.maximum(0.05, 1.0 - beta_max)
             die = do_rr & (u_rr < q)
-            st["beta"] = jnp.where(
-                (do_rr & ~die)[..., None],
-                st["beta"] / jnp.maximum(1.0 - q, 1e-6)[..., None],
-                st["beta"])
+            st["beta"] = where3(do_rr & ~die,
+                                st["beta"] * (1.0
+                                              / jnp.maximum(1.0 - q, 1e-6)),
+                                st["beta"])
             alive = alive & ~die
 
         st["active"] = alive
         return st
 
+    flat = len(n) == 1
     if flat:
         # scan over bounces with a rematerialized body: backward recomputes
-        # each bounce from its 16-row packed carry instead of saving every
-        # padded [N,*] intermediate (see _pack note above). The intersection
-        # sweeps' raw (t, idx, valid) ARE saved (checkpoint_name "isect" in
-        # geometry.intersect): they carry no gradient, and re-running the
-        # Pallas sweeps in the backward pass was 5x the whole forward cost.
+        # each bounce from the flat-[N] carry instead of saving every
+        # intermediate. The intersection sweeps' raw (t, idx, valid) ARE
+        # saved (checkpoint_name "isect" in geometry.intersect): they carry
+        # no gradient, and re-running the Pallas sweeps in the backward
+        # pass was 5x the whole forward cost. Geometry rows of the carry
+        # (o, d, cone, prev_pdf) are detached on entry so the tangent graph
+        # never extends into sampled positions/directions.
         import functools as _ft
         _policy = jax.checkpoint_policies.save_only_these_names("isect")
+        _geo = ("ox", "oy", "oz", "dx", "dy", "dz", "cone_width", "prev_pdf")
 
         @_ft.partial(jax.checkpoint, policy=_policy)
         def scan_body(carry, bounce):
-            packed, n_rays = carry
-            st = _unpack(packed, n_rays)
+            st = dict(carry)
+            if detach_sampling:
+                for k in _geo:
+                    st[k] = jax.lax.stop_gradient(st[k])
             st = bounce_body(bounce, st)
-            return (_pack(st), st["n_rays"]), None
+            return st, None
 
-        (packed, n_rays), _ = jax.lax.scan(
-            scan_body, (_pack(state), state["n_rays"]),
-            jnp.arange(cfg.max_depth + 1))
-        state = _unpack(packed, n_rays)
+        state, _ = jax.lax.scan(scan_body, state,
+                                jnp.arange(cfg.max_depth + 1))
     else:
         state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce_body, state)
     if count_rays:

@@ -4,20 +4,24 @@ TPU-native analog of the reference SamplerIntegrator driver
 (src/integrator/mod.rs:193-281): instead of rayon tiles, a full-image lane
 wave is traced per sample index inside a ``lax.fori_loop``; the film is the
 loop carry (pure accumulation — the reference's mutex merge film.rs:121-132
-is a scatter-add here). Determinism: every random number depends only on
-(pixel lane, sample index), so the image is independent of batching and of
-the number of chips.
+is a shifted dense add here). Determinism: every random number depends only
+on (pixel lane, sample index), so the image is independent of batching and
+of the number of chips.
+
+Layout: everything flows in component-SoA V3 (flat [N] per component — see
+core.vecmath.V3) and the film is channel-planar; no [N, 3] arrays ever
+materialize in HBM.
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from fountain_tpu.core import rng
-from fountain_tpu.core.vecmath import Float
+from fountain_tpu.core.vecmath import Float, length
 from fountain_tpu.integrator.path import DIM_CAMERA, PathConfig, trace_paths
 from fountain_tpu.scene.camera import PerspectiveCamera, generate_rays
 from fountain_tpu.scene.film import (FILTER_BOX, Film, add_samples_aligned,
@@ -29,7 +33,8 @@ def render_wave(scene: Scene, camera: PerspectiveCamera, xres: int,
                 yres: int, sample_idx, cfg: PathConfig, seed=0,
                 lane_offset: int = 0, n_lanes: Optional[int] = None,
                 detach_sampling: bool = True, diff_scale: float = 1.0):
-    """Trace one sample-per-pixel wave; returns (p_film [N,2], L [N,3]).
+    """Trace one sample-per-pixel wave; returns (frac_x, frac_y, L) with
+    frac_x/frac_y the in-pixel jitter [N] in [0,1)^2 and L a V3 of [N].
 
     Lanes cover pixels [lane_offset, lane_offset + n_lanes) in row-major
     order — the slicing hook used by the multi-chip sharding layer.
@@ -44,13 +49,11 @@ def render_wave(scene: Scene, camera: PerspectiveCamera, xres: int,
     py = (lane // xres).astype(Float)
 
     u = rng.uniform4(lane, sample_idx, DIM_CAMERA, seed)
-    p_film = jnp.stack([px + u[0], py + u[1]], axis=-1)
-    p_lens = jnp.stack([u[2], u[3]], axis=-1)
-    rays = generate_rays(camera, p_film, p_lens)
+    rays = generate_rays(camera, px + u[0], py + u[1], u[2], u[3])
 
     # per-lane cone spread from the camera differentials
-    sx = jnp.linalg.norm(rays.rx_d - rays.d, axis=-1)
-    sy = jnp.linalg.norm(rays.ry_d - rays.d, axis=-1)
+    sx = length(rays.rx_d - rays.d)
+    sy = length(rays.ry_d - rays.d)
     spread = jnp.maximum(sx, sy) * diff_scale
 
     sample = jnp.full((n_lanes,), sample_idx, jnp.int32) \
@@ -58,7 +61,35 @@ def render_wave(scene: Scene, camera: PerspectiveCamera, xres: int,
     radiance = trace_paths(scene, rays.o, rays.d, lane, sample, cfg,
                            seed=seed, detach_sampling=detach_sampling,
                            cone_spread=spread)
-    return p_film, radiance
+    return u[0], u[1], radiance
+
+
+@partial(jax.jit, static_argnames=("xres", "yres", "s_begin", "s_end",
+                                   "spp_total", "cfg", "ftype", "fradius"))
+def render_samples(scene: Scene, camera: PerspectiveCamera, xres: int,
+                   yres: int, s_begin: int, s_end: int, spp_total: int,
+                   film: Film, cfg: PathConfig = PathConfig(),
+                   ftype: int = FILTER_BOX, fradius: float = 0.5,
+                   seed=0) -> Film:
+    """Accumulate samples [s_begin, s_end) into `film` and return it.
+
+    The checkpoint/resume primitive (reference sampler/mod.rs:53 reserved
+    `set_sample_number`, never implemented): every random number is a
+    counter hash of (lane, sample index), so rendering [0,4) + [4,8) in two
+    calls is bitwise identical to [0,8) in one — the film plus the next
+    sample index IS the complete resumable state (io.checkpoint).
+    `spp_total` only scales the texture-filter differentials and must be
+    held fixed across a resumed run.
+    """
+    def body(s, film: Film) -> Film:
+        fx, fy, radiance = render_wave(
+            scene, camera, xres, yres, s, cfg, seed=seed,
+            diff_scale=1.0 / max(spp_total, 1) ** 0.5)
+        # full-frame lane-aligned layout -> scatter-free shifted-add splat
+        return add_samples_aligned(film, fx, fy, radiance, ftype=ftype,
+                                   radius=fradius)
+
+    return jax.lax.fori_loop(s_begin, s_end, body, film)
 
 
 @partial(jax.jit, static_argnames=("xres", "yres", "spp", "cfg", "ftype",
@@ -68,19 +99,6 @@ def render(scene: Scene, camera: PerspectiveCamera, xres: int, yres: int,
            ftype: int = FILTER_BOX, fradius: float = 0.5,
            seed=0) -> jnp.ndarray:
     """Render a full image [yres, xres, 3] with `spp` samples per pixel."""
-    film = make_film(xres, yres)
-
-    lane = jnp.arange(xres * yres, dtype=jnp.int32)
-    pxy = jnp.stack([(lane % xres).astype(Float),
-                     (lane // xres).astype(Float)], axis=-1)
-
-    def body(s, film: Film) -> Film:
-        p_film, radiance = render_wave(scene, camera, xres, yres, s, cfg,
-                                       seed=seed,
-                                       diff_scale=1.0 / max(spp, 1) ** 0.5)
-        # full-frame lane-aligned layout -> scatter-free shifted-add splat
-        return add_samples_aligned(film, p_film - pxy, radiance, ftype=ftype,
-                                   radius=fradius)
-
-    film = jax.lax.fori_loop(0, spp, body, film)
+    film = render_samples(scene, camera, xres, yres, 0, spp, spp,
+                          make_film(xres, yres), cfg, ftype, fradius, seed)
     return finalize(film)

@@ -11,7 +11,9 @@ TPU-native analog of reference ``src/light/``:
   env-map importance-sampled variant plugs in via the texture/mipmap layer.
 
 Batched: every lane carries its own chosen light index; all light types are
-evaluated masked and selected (lax-free, pure `where` dispatch — L is small).
+evaluated masked and selected (lax-free, pure `where` dispatch — L is
+small). All wavefront vectors are component-SoA V3 (flat [N] arrays, zero
+TPU tile padding — see core.vecmath.V3).
 """
 from __future__ import annotations
 
@@ -20,12 +22,14 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from fountain_tpu.core import transform as tf
+from fountain_tpu.core.gather import gather_rows3
 from fountain_tpu.core.sampling import (pdf_distribution_2d,
                                         sample_distribution_2d,
                                         uniform_sample_sphere,
                                         uniform_sample_triangle)
-from fountain_tpu.core.vecmath import (Float, PI, cross, distance_sq, dot,
-                                       gamma, length, normalize)
+from fountain_tpu.core.vecmath import (Float, PI, V3, cross, dot, gamma,
+                                       length, normalize, v3_from, where3,
+                                       zeros3)
 from fountain_tpu.geometry.intersect import Hit
 from fountain_tpu.scene.types import (LIGHT_AREA_SPHERE, LIGHT_AREA_TRI,
                                       LIGHT_DISTANT, LIGHT_INFINITE,
@@ -41,9 +45,9 @@ INV_PI = 1.0 / PI
 # flip_y), so the top of the picture (v=1) is the zenith.
 
 
-def dir_to_env_uv(d):
-    theta = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0))
-    phi = jnp.arctan2(d[..., 1], d[..., 0])
+def dir_to_env_uv(d: V3):
+    theta = jnp.arccos(jnp.clip(d.z, -1.0, 1.0))
+    phi = jnp.arctan2(d.y, d.x)
     phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
     return phi * INV_2PI, 1.0 - theta * INV_PI
 
@@ -52,8 +56,8 @@ def env_uv_to_dir(u, v):
     theta = PI * (1.0 - v)
     phi = 2.0 * PI * u
     sin_t = jnp.sin(theta)
-    return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
-                      jnp.cos(theta)], axis=-1), sin_t
+    return V3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+              jnp.cos(theta)), sin_t
 
 
 def _scene_tex_lookup(scene: Scene):
@@ -64,39 +68,37 @@ def _scene_tex_lookup(scene: Scene):
                                                       iid, u, v, w)
 
 
-def _eval_env_tex(scene: Scene, tex_id, u, v):
+def _eval_env_tex(scene: Scene, tex_id, u, v) -> V3:
     """Evaluate an env radiance texture id at env uv (batched)."""
     from fountain_tpu.shading.textures import eval_texture
-    uv = jnp.stack([u, v], axis=-1)
-    return eval_texture(scene.textures, tex_id, uv,
+    return eval_texture(scene.textures, tex_id, u, v,
                         tex_lookup=_scene_tex_lookup(scene))
 
 
 class LightSample(NamedTuple):
-    """Reference LiSample (light/mod.rs:51-60) in SoA."""
-    radiance: jnp.ndarray   # [N, 3]
-    wi: jnp.ndarray         # [N, 3] towards the light
-    pdf: jnp.ndarray        # [N] solid-angle density
-    p_light: jnp.ndarray    # [N, 3] visibility endpoint
-    p_light_err: jnp.ndarray  # [N, 3]
-    n_light: jnp.ndarray    # [N, 3] light surface normal (for offsetting)
-    is_delta: jnp.ndarray   # [N] bool
+    """Reference LiSample (light/mod.rs:51-60) in component SoA."""
+    radiance: V3
+    wi: V3                    # towards the light
+    pdf: jnp.ndarray          # [N] solid-angle density
+    p_light: V3               # visibility endpoint
+    p_light_err: V3
+    n_light: V3               # light surface normal (for offsetting)
+    is_delta: jnp.ndarray     # [N] bool
     is_infinite: jnp.ndarray  # [N] bool (visibility ray is unbounded-ish)
 
 
-def emitted_radiance(scene: Scene, hit: Hit) -> jnp.ndarray:
+def emitted_radiance(scene: Scene, hit: Hit) -> V3:
     """Area-light emission toward the viewer at surface hits
     (reference SurfaceInteraction::emitted_radiance interaction.rs:175-180 →
     DiffuseAreaLight::emitted_radiance diffuse.rs:44-50, one-sided)."""
     lid = jnp.clip(hit.light_id, 0, max(scene.lights.count - 1, 0))
-    from fountain_tpu.core.gather import gather_rows
-    emit = gather_rows(scene.lights.emit, lid)
+    emit = gather_rows3(scene.lights.emit, lid)
     visible = dot(hit.n, hit.wo) > 0.0
     on = (hit.light_id >= 0) & hit.valid & visible
-    return jnp.where(on[..., None], emit, 0.0)
+    return where3(on, emit, 0.0)
 
 
-def environment_radiance(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:
+def environment_radiance(scene: Scene, d: V3) -> V3:
     """Total radiance from infinite lights for escaped rays in direction d
     (reference Scene::environment_emitted_radiance scene/mod.rs:59-64 sums
     over all lights; InfiniteAreaLight::environment_emitted_radiance
@@ -104,15 +106,14 @@ def environment_radiance(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:
     at the equirect uv of d."""
     lt = scene.lights
     if lt.count == 0:
-        return jnp.zeros(d.shape[:-1] + (3,), Float)
-    total = jnp.zeros(d.shape[:-1] + (3,), Float)
+        return zeros3(d.shape)
+    total = zeros3(d.shape)
     for i in range(lt.count):  # L is tiny & static; unrolled
         total = total + environment_light_radiance(scene, i, d)
     return total
 
 
-def environment_light_radiance(scene: Scene, i: int, d: jnp.ndarray
-                               ) -> jnp.ndarray:
+def environment_light_radiance(scene: Scene, i: int, d: V3) -> V3:
     """Radiance of infinite light ``i`` alone for escaped rays in direction
     d (zero when light i is not infinite). Split out so the integrator can
     MIS-weight each env light against its own sampling pdf."""
@@ -120,28 +121,34 @@ def environment_light_radiance(scene: Scene, i: int, d: jnp.ndarray
     dn = normalize(d)
     u, v = dir_to_env_uv(dn)
     is_inf = lt.ltype[i] == LIGHT_INFINITE
-    radiance = jnp.broadcast_to(lt.emit[i], d.shape[:-1] + (3,))
+    radiance = V3(jnp.broadcast_to(lt.emit[i, 0], d.shape),
+                  jnp.broadcast_to(lt.emit[i, 1], d.shape),
+                  jnp.broadcast_to(lt.emit[i, 2], d.shape))
     if scene.env_images is not None:
         has_env = lt.env_tex[i] >= 0
         tex_rgb = _eval_env_tex(
             scene, jnp.broadcast_to(lt.env_tex[i], u.shape), u, v)
-        radiance = jnp.where(has_env, radiance * tex_rgb, radiance)
-    return jnp.where(is_inf, radiance, 0.0)
+        radiance = where3(has_env, radiance * tex_rgb, radiance)
+    return where3(is_inf, radiance, 0.0)
 
 
-def _sphere_surface_at(scene: Scene, sphere_idx, p_obj_unit):
+def _sphere_surface_at(scene: Scene, sphere_idx, p_obj_unit: V3):
     """World position/normal/error for a unit-sphere point scaled to the
-    sphere surface (reference Sphere::sample, sphere.rs:202-218)."""
+    sphere surface (reference Sphere::sample, sphere.rs:202-218).
+
+    Array-layout internals (per-lane gathered 4x4 matrices); V3 at the
+    boundary — the sphere path is cold on TPU scenes (mesh-dominated)."""
     sph = scene.spheres
     g = lambda a: a[sphere_idx]
     o2w = tf.Transform(g(sph.o2w), g(sph.w2o))
     r = g(sph.radius)
-    p_obj = p_obj_unit * r[..., None]
+    p_unit = p_obj_unit.stack()
+    p_obj = p_unit * r[..., None]
     p_err_obj = gamma(5) * jnp.abs(p_obj)
     p_w, p_err = tf.transform_point_with_input_error(o2w, p_obj, p_err_obj)
-    n_w = normalize(tf.transform_normal(o2w, p_obj_unit))
+    n_w = normalize(tf.transform_normal(o2w, p_unit))
     n_w = jnp.where(g(sph.flip_normal)[..., None], -n_w, n_w)
-    return p_w, p_err, n_w
+    return v3_from(p_w), v3_from(p_err), v3_from(n_w)
 
 
 def _sphere_area(scene: Scene, sphere_idx):
@@ -150,7 +157,7 @@ def _sphere_area(scene: Scene, sphere_idx):
     return 4.0 * PI * r * r
 
 
-def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
+def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
                  u1, u2) -> LightSample:
     """Sample incident illumination from per-lane light `light_idx`
     (reference Light::sample_incident_radiance implementations).
@@ -159,46 +166,46 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
     infinite lights use uniform-sphere directions.
     """
     lt = scene.lights
-    n = ref_p.shape[:-1]
+    n = ref_p.shape
     li = jnp.clip(light_idx, 0, max(lt.count - 1, 0))
     ltype = lt.ltype[li]
-    emit = lt.emit[li]
+    emit = gather_rows3(lt.emit, li)
 
-    zero3 = jnp.zeros(n + (3,), Float)
-    wi = zero3
+    wi = zeros3(n)
     pdf = jnp.zeros(n, Float)
-    radiance = zero3
-    p_light = zero3
-    p_light_err = zero3
-    n_light = zero3
+    radiance = zeros3(n)
+    p_light = zeros3(n)
+    p_light_err = zeros3(n)
+    n_light = zeros3(n)
     is_delta = (ltype == LIGHT_POINT) | (ltype == LIGHT_DISTANT)
     is_infinite = (ltype == LIGHT_INFINITE) | (ltype == LIGHT_DISTANT)
 
     # --- point light (point.rs:40-60): I / r^2, pdf = 1
     sel = ltype == LIGHT_POINT
-    d_vec = lt.pos[li] - ref_p
-    r2 = jnp.maximum(distance_sq(lt.pos[li], ref_p), 1e-12)
-    wi = jnp.where(sel[..., None], normalize(d_vec), wi)
-    radiance = jnp.where(sel[..., None], emit / r2[..., None], radiance)
+    pos = gather_rows3(lt.pos, li)
+    d_vec = pos - ref_p
+    r2 = jnp.maximum(dot(d_vec, d_vec), 1e-12)
+    wi = where3(sel, normalize(d_vec), wi)
+    radiance = where3(sel, emit * (1.0 / r2), radiance)
     pdf = jnp.where(sel, 1.0, pdf)
-    p_light = jnp.where(sel[..., None], lt.pos[li], p_light)
+    p_light = where3(sel, pos, p_light)
 
     # --- distant light (distant.rs:30-60): direction `dir` points FROM the
     # light; wi = -dir; endpoint outside scene bounds
     sel = ltype == LIGHT_DISTANT
-    wi_d = normalize(-lt.dir[li])
+    wi_d = normalize(-gather_rows3(lt.dir, li))
     p_out = ref_p + wi_d * (2.0 * scene.world_radius)
-    wi = jnp.where(sel[..., None], wi_d, wi)
-    radiance = jnp.where(sel[..., None], emit, radiance)
+    wi = where3(sel, wi_d, wi)
+    radiance = where3(sel, emit, radiance)
     pdf = jnp.where(sel, 1.0, pdf)
-    p_light = jnp.where(sel[..., None], p_out, p_light)
+    p_light = where3(sel, p_out, p_light)
 
     # --- infinite light (infinite.rs:42-61 uniform / :99-140 env-mapped):
     # endpoint at 2 * world radius (infinite.rs:121-129)
     sel = ltype == LIGHT_INFINITE
     wi_u = uniform_sample_sphere(u1, u2)
     pdf_u = jnp.full(n, 1.0 / (4.0 * PI), Float)
-    rad_u = jnp.broadcast_to(emit, n + (3,))
+    rad_u = emit
     if scene.env_dist is not None:
         # importance-sample the luminance*sin(theta) 2D CDF
         # (infinite.rs:99-119; pdf /= 2 pi^2 sin(theta))
@@ -209,20 +216,20 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
                           0.0)
         rad_e = emit * _eval_env_tex(scene, lt.env_tex[li], ue, ve)
         has_env = lt.env_tex[li] >= 0
-        wi_u = jnp.where(has_env[..., None], wi_e, wi_u)
+        wi_u = where3(has_env, wi_e, wi_u)
         pdf_u = jnp.where(has_env, pdf_e, pdf_u)
-        rad_u = jnp.where(has_env[..., None], rad_e, rad_u)
+        rad_u = where3(has_env, rad_e, rad_u)
     elif scene.env_images is not None:
         # image-mapped env without a distribution: uniform dirs, textured L
         u_env, v_env = dir_to_env_uv(wi_u)
         rad_e = emit * _eval_env_tex(scene, lt.env_tex[li], u_env, v_env)
         has_env = lt.env_tex[li] >= 0
-        rad_u = jnp.where(has_env[..., None], rad_e, rad_u)
+        rad_u = where3(has_env, rad_e, rad_u)
     p_inf = ref_p + wi_u * (2.0 * scene.world_radius)
-    wi = jnp.where(sel[..., None], wi_u, wi)
-    radiance = jnp.where(sel[..., None], rad_u, radiance)
+    wi = where3(sel, wi_u, wi)
+    radiance = where3(sel, rad_u, radiance)
     pdf = jnp.where(sel, pdf_u, pdf)
-    p_light = jnp.where(sel[..., None], p_inf, p_light)
+    p_light = where3(sel, p_inf, p_light)
 
     # --- diffuse area light on a sphere (diffuse.rs:74-90 + sphere.rs:202):
     # uniform-area sample; pdf converted to solid angle via the *first
@@ -235,15 +242,15 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
         wi_s = normalize(p_s - ref_p)
         pdf_s = light_pdf(scene, li, ref_p, wi_s)
         # one-sided emission towards the reference (diffuse.rs:44-50)
-        rad_s = jnp.where((dot(n_s, -wi_s) > 0.0)[..., None], emit, 0.0)
+        rad_s = where3(dot(n_s, -wi_s) > 0.0, emit, 0.0)
         degenerate = length(p_s - ref_p) < 1e-8
-        wi = jnp.where(sel[..., None], wi_s, wi)
-        radiance = jnp.where((sel & ~degenerate)[..., None], rad_s,
-                             jnp.where(sel[..., None], 0.0, radiance))
+        wi = where3(sel, wi_s, wi)
+        radiance = where3(sel & ~degenerate, rad_s,
+                          where3(sel, 0.0, radiance))
         pdf = jnp.where(sel, jnp.where(degenerate, 0.0, pdf_s), pdf)
-        p_light = jnp.where(sel[..., None], p_s, p_light)
-        p_light_err = jnp.where(sel[..., None], p_s_err, p_light_err)
-        n_light = jnp.where(sel[..., None], n_s, n_light)
+        p_light = where3(sel, p_s, p_light)
+        p_light_err = where3(sel, p_s_err, p_light_err)
+        n_light = where3(sel, n_s, n_light)
 
     # --- diffuse area light on a triangle mesh (diffuse.rs:74-90 +
     # Triangle::sample triangle.rs:395-420): face chosen ∝ area via the
@@ -256,8 +263,9 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
         face = _search_cdf_range(scene.tri_area_cdf, u1, start, count)
         i0, i1, i2 = (tris.indices[face, 0], tris.indices[face, 1],
                       tris.indices[face, 2])
-        p0, p1, p2 = (tris.positions[i0], tris.positions[i1],
-                      tris.positions[i2])
+        gp = lambda i: V3(tris.positions[i, 0], tris.positions[i, 1],
+                          tris.positions[i, 2])
+        p0, p1, p2 = gp(i0), gp(i1), gp(i2)
         # re-derive the barycentric u from the CDF remainder so the pair
         # (u1, u2) gives a well-stratified point: use (u2, u1') with u1'
         # the within-face residual
@@ -267,28 +275,27 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
                          / jnp.maximum(c_hi - c_lo, 1e-12), 0.0, 1.0)
         b0, b1 = uniform_sample_triangle(resid, u2)
         b2 = 1.0 - b0 - b1
-        p_t = (b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2)
-        p_t_err = gamma(6) * (jnp.abs(b0[..., None] * p0)
-                              + jnp.abs(b1[..., None] * p1)
-                              + jnp.abs(b2[..., None] * p2))
+        p_t = p0 * b0 + p1 * b1 + p2 * b2
+        p_t_err = ((p0 * b0).abs() + (p1 * b1).abs()
+                   + (p2 * b2).abs()) * gamma(6)
         n_t = normalize(cross(p1 - p0, p2 - p0))
-        n_t = jnp.where(tris.flip_normal[face][..., None], -n_t, n_t)
+        n_t = where3(tris.flip_normal[face], -n_t, n_t)
         d_t = p_t - ref_p
         d2 = jnp.maximum(dot(d_t, d_t), 1e-20)
-        wi_t = d_t / jnp.sqrt(d2)[..., None]
+        wi_t = d_t * (1.0 / jnp.sqrt(d2))
         cos_l = dot(n_t, -wi_t)
         area = jnp.maximum(lt.area[li], 1e-20)
         pdf_t = jnp.where(jnp.abs(cos_l) > 1e-8,
                           d2 / (jnp.abs(cos_l) * area), 0.0)
-        rad_t = jnp.where((cos_l > 0.0)[..., None], emit, 0.0)
+        rad_t = where3(cos_l > 0.0, emit, 0.0)
         degenerate = d2 < 1e-16
-        wi = jnp.where(sel[..., None], wi_t, wi)
-        radiance = jnp.where((sel & ~degenerate)[..., None], rad_t,
-                             jnp.where(sel[..., None], 0.0, radiance))
+        wi = where3(sel, wi_t, wi)
+        radiance = where3(sel & ~degenerate, rad_t,
+                          where3(sel, 0.0, radiance))
         pdf = jnp.where(sel, jnp.where(degenerate, 0.0, pdf_t), pdf)
-        p_light = jnp.where(sel[..., None], p_t, p_light)
-        p_light_err = jnp.where(sel[..., None], p_t_err, p_light_err)
-        n_light = jnp.where(sel[..., None], n_t, n_light)
+        p_light = where3(sel, p_t, p_light)
+        p_light_err = where3(sel, p_t_err, p_light_err)
+        n_light = where3(sel, n_t, n_light)
 
     return LightSample(radiance=radiance, wi=wi, pdf=pdf, p_light=p_light,
                        p_light_err=p_light_err, n_light=n_light,
@@ -309,8 +316,8 @@ def _search_cdf_range(cdf: jnp.ndarray, u, lo, n):
     return jnp.clip(lo_i, lo0, hi0)
 
 
-def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
-              wi: jnp.ndarray, hit: Hit = None) -> jnp.ndarray:
+def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
+              wi: V3, hit: Hit = None) -> jnp.ndarray:
     """Solid-angle pdf that `sample_light` would pick direction wi
     (reference Light::pdf_incident_radiance).
 
@@ -321,7 +328,7 @@ def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
     scene along wi (`hit`); 0 when absent.
     """
     lt = scene.lights
-    n = ref_p.shape[:-1]
+    n = ref_p.shape
     li = jnp.clip(light_idx, 0, max(lt.count - 1, 0))
     ltype = lt.ltype[li]
     pdf = jnp.zeros(n, Float)
@@ -331,7 +338,7 @@ def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
     if scene.env_dist is not None:
         wn = normalize(wi)
         u_env, v_env = dir_to_env_uv(wn)
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - wn[..., 2] ** 2, 0.0))
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - wn.z ** 2, 0.0))
         pdf_uv = pdf_distribution_2d(scene.env_dist, u_env, v_env)
         pdf_env = jnp.where(sin_t > 0.0,
                             pdf_uv / (2.0 * PI * PI
@@ -344,8 +351,9 @@ def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
     # always has one; the conversion d²/(|cosθ|·area) matches sample_light)
     if hit is not None:
         sel_t = ltype == LIGHT_AREA_TRI
+        dh = ref_p - hit.p
+        d2 = dot(dh, dh)
         same = hit.valid & (hit.light_id == li)
-        d2 = distance_sq(ref_p, hit.p)
         cos_l = jnp.abs(dot(hit.n, -normalize(wi)))
         area = jnp.maximum(lt.area[li], 1e-20)
         pdf_t = jnp.where(same & (cos_l > 1e-8),
@@ -353,20 +361,21 @@ def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
         pdf = jnp.where(sel_t, pdf_t, pdf)
 
     if scene.spheres.count > 0:
-        from fountain_tpu.geometry.intersect import (intersect_spheres,
-                                                     sphere_hit_info)
         sel = ltype == LIGHT_AREA_SPHERE
         sphere_idx = jnp.clip(lt.shape_id[li], 0, scene.spheres.count - 1)
         # intersect ONLY that sphere: gather a single-sphere table per lane
+        # (array-layout internals; cold on mesh scenes)
         sph = scene.spheres
         one = type(sph)(*[a[sphere_idx][..., None] if a.ndim == 1
                           else a[sphere_idx][..., None, :, :] if a.ndim == 3
                           else a[sphere_idx][..., None] for a in sph])
+        ref_a = ref_p.stack()
+        wi_a = wi.stack()
         # offset origin slightly along wi to avoid self-hit when ref is ON
         # the light (mirrors spawn_ray + reference pdf_from_ref flow)
-        o = ref_p + wi * 1e-3
-        t_all, ok = _single_sphere_t(one, o, wi)
-        p_hit = o + t_all[..., None] * wi
+        o = ref_a + wi_a * 1e-3
+        t_all, ok = _single_sphere_t(one, o, wi_a)
+        p_hit = o + t_all[..., None] * wi_a
         n_obj = tf.transform_point(
             tf.Transform(one.w2o[..., 0, :, :], one.o2w[..., 0, :, :]), p_hit)
         n_w = normalize(tf.transform_normal(
@@ -374,8 +383,9 @@ def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: jnp.ndarray,
             normalize(n_obj)))
         n_w = jnp.where(one.flip_normal[..., 0][..., None], -n_w, n_w)
         area = _sphere_area(scene, sphere_idx)
-        d2 = distance_sq(ref_p, p_hit)
-        denom = jnp.abs(dot(n_w, -wi)) * area
+        dd = ref_a - p_hit
+        d2 = jnp.sum(dd * dd, axis=-1)
+        denom = jnp.abs(jnp.sum(n_w * -wi_a, axis=-1)) * area
         pdf_area = jnp.where(ok & (denom > 0.0),
                              d2 / jnp.maximum(denom, 1e-12), 0.0)
         pdf = jnp.where(sel, pdf_area, pdf)

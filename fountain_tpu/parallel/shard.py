@@ -8,8 +8,10 @@ film.rs:121-132):
   "data parallel" axis, SURVEY.md §2 parallelism table),
 - scene tables (BVH, textures, lights, params) are replicated in each
   chip's HBM (per the north-star design),
-- each shard scatter-adds into a full-resolution film; films are summed
-  with ``psum`` over ICI — the collective analog of the tile merge,
+- each shard accumulates its lane window into a flat padded film buffer
+  with *scatter-free* shifted dense adds (the same formulation as the
+  single-chip ``add_samples_aligned``); buffers are summed with ``psum``
+  over ICI — the collective analog of the tile merge,
 - the counter-based RNG keys off the *global* lane id, so the image is
   bitwise independent of the device count (the reference gets the same
   property from per-tile seeds, integrator/mod.rs:182-185).
@@ -28,11 +30,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from fountain_tpu.core.vecmath import Float, where3
 from fountain_tpu.integrator.path import PathConfig
 from fountain_tpu.integrator.render import render_wave
 from fountain_tpu.scene.camera import PerspectiveCamera
-from fountain_tpu.scene.film import (FILTER_BOX, Film, add_samples, finalize,
-                                     make_film)
+from fountain_tpu.scene.film import (FILTER_BOX, Film, _support_taps,
+                                     filter_weight, finalize)
 from fountain_tpu.scene.types import Scene
 
 try:  # JAX >= 0.8 exposes shard_map at top level
@@ -52,21 +55,62 @@ def make_render_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 def _shard_body(scene: Scene, camera: PerspectiveCamera, seed,
                 xres: int, yres: int, spp: int, cfg: PathConfig,
-                ftype: int, fradius: float, lanes_per: int):
-    """Per-device body: render this shard's pixel slice, psum films."""
+                ftype: int, fradius: float, lanes_per: int, n_shards: int):
+    """Per-device body: render this shard's pixel window into a flat padded
+    film buffer via shifted dense adds, then psum the buffers.
+
+    Layout: flat row-major pixel index; a filter tap at pixel offset
+    (ox, oy) from a lane's own pixel shifts the flat index by oy*W + ox, so
+    each tap writes one contiguous window [off + shift, off + shift + n) of
+    the padded buffer (margin absorbs negative/overflow shifts; x/y edge
+    wrap lanes are masked by fw = 0). No scatters anywhere.
+    """
+    taps = _support_taps(fradius)
+    total = xres * yres
+    margin = taps * (xres + 1)
+    buf_len = n_shards * lanes_per + 2 * margin
+
     shard = jax.lax.axis_index("batch")
-    film = make_film(xres, yres)
+    off = shard * lanes_per
+    lane = off + jnp.arange(lanes_per, dtype=jnp.int32)
+    px = lane % xres
+    py = lane // xres
 
-    def body(s, film: Film) -> Film:
-        p_film, radiance = render_wave(
+    zeros = jnp.zeros((buf_len,), Float)
+    acc = (zeros, zeros, zeros, zeros)
+
+    def body(s, acc):
+        r, g, b, wsum = acc
+        fx, fy, radiance = render_wave(
             scene, camera, xres, yres, s, cfg, seed=seed,
-            lane_offset=shard * lanes_per, n_lanes=lanes_per)
-        return add_samples(film, p_film, radiance, ftype=ftype,
-                           radius=fradius)
+            lane_offset=off, n_lanes=lanes_per)
+        finite = radiance.isfinite() & (lane < total)
+        radiance = where3(finite, radiance, 0.0)
+        for oy in range(-taps, taps + 1):
+            for ox in range(-taps, taps + 1):
+                dx = (ox + 0.5) - fx
+                dy = (oy + 0.5) - fy
+                fw = filter_weight(ftype, fradius, dx, dy)
+                inb = ((px + ox >= 0) & (px + ox < xres)
+                       & (py + oy >= 0) & (py + oy < yres) & finite)
+                fw = jnp.where(inb, fw, 0.0)
+                start = (margin + off + oy * xres + ox,)
 
-    film = jax.lax.fori_loop(0, spp, body, film)
-    film = jax.tree.map(lambda x: jax.lax.psum(x, "batch"), film)
-    return finalize(film)
+                def upd(plane, contrib):
+                    win = jax.lax.dynamic_slice(plane, start, (lanes_per,))
+                    return jax.lax.dynamic_update_slice(
+                        plane, win + contrib, start)
+                r = upd(r, fw * radiance.x)
+                g = upd(g, fw * radiance.y)
+                b = upd(b, fw * radiance.z)
+                wsum = upd(wsum, fw)
+        return r, g, b, wsum
+
+    acc = jax.lax.fori_loop(0, spp, body, acc)
+    acc = jax.tree.map(lambda x: jax.lax.psum(x, "batch"), acc)
+    r, g, b, wsum = (x[margin:margin + total].reshape(yres, xres)
+                     for x in acc)
+    return finalize(Film(r_sum=r, g_sum=g, b_sum=b, weight_sum=wsum))
 
 
 @partial(jax.jit,
@@ -89,7 +133,8 @@ def render_sharded(scene: Scene, camera: PerspectiveCamera, xres: int,
 
     fn = shard_map(
         partial(_shard_body, xres=xres, yres=yres, spp=spp, cfg=cfg,
-                ftype=ftype, fradius=fradius, lanes_per=lanes_per),
+                ftype=ftype, fradius=fradius, lanes_per=lanes_per,
+                n_shards=n_dev),
         mesh=mesh,
         in_specs=(P(), P(), P()),   # scene/camera/seed replicated
         out_specs=P(),              # film replicated after psum

@@ -18,20 +18,22 @@ import jax.numpy as jnp
 
 from fountain_tpu.core import transform as tf
 from fountain_tpu.core.sampling import concentric_sample_disk
-from fountain_tpu.core.vecmath import Float, normalize, vec
+from fountain_tpu.core.vecmath import (Float, V3, length, normalize, vec,
+                                       where3)
 
 
 class Rays(NamedTuple):
-    """SoA ray batch. ``d`` need not be normalized for intersection tests but
-    camera rays are unit length (matching reference conventions)."""
-    o: jnp.ndarray      # [..., 3]
-    d: jnp.ndarray      # [..., 3]
-    t_max: jnp.ndarray  # [...]
+    """Component-SoA ray batch (flat [N] arrays — see core.vecmath.V3).
+    ``d`` need not be normalized for intersection tests but camera rays are
+    unit length (matching reference conventions)."""
+    o: V3
+    d: V3
+    t_max: jnp.ndarray  # [N]
     # differentials (dx/dy of origin and direction w.r.t. one raster pixel)
-    rx_o: Optional[jnp.ndarray] = None
-    rx_d: Optional[jnp.ndarray] = None
-    ry_o: Optional[jnp.ndarray] = None
-    ry_d: Optional[jnp.ndarray] = None
+    rx_o: Optional[V3] = None
+    rx_d: Optional[V3] = None
+    ry_o: Optional[V3] = None
+    ry_d: Optional[V3] = None
 
 
 class PerspectiveCamera(NamedTuple):
@@ -93,35 +95,36 @@ def make_perspective_camera(
     )
 
 
-def generate_rays(cam: PerspectiveCamera, p_film: jnp.ndarray,
-                  p_lens: jnp.ndarray, with_differentials: bool = True) -> Rays:
-    """Generate world-space rays for raster-space film points [N, 2].
+def generate_rays(cam: PerspectiveCamera, px, py, lens_u, lens_v,
+                  with_differentials: bool = True) -> Rays:
+    """Generate world-space rays for raster-space film points (px, py) [N].
 
-    ``p_lens`` are U[0,1)^2 lens samples [N, 2] (only used when
+    ``lens_u/lens_v`` are U[0,1) lens samples [N] (only used when
     lens_radius > 0). Mirrors reference generate_ray (camera/mod.rs:118-143)
     batched and branch-free: the DoF path is computed unconditionally and
     selected by `where` on lens_radius (a scalar, so XLA folds it when 0).
+    Everything flows in component-SoA V3 layout.
     """
-    n = p_film.shape[:-1]
-    p_cam = tf.transform_point(
-        cam.raster_to_camera,
-        jnp.concatenate([p_film, jnp.zeros(n + (1,), Float)], axis=-1))
+    n = jnp.shape(px)
+    p_cam = tf.transform_point_v3(cam.raster_to_camera,
+                                  V3(px, py, jnp.zeros(n, Float)))
     d = normalize(p_cam)
-    o = jnp.zeros_like(d)
+    o = V3(jnp.zeros(n, Float), jnp.zeros(n, Float), jnp.zeros(n, Float))
 
     # depth of field (camera/mod.rs:129-139)
-    lx, ly = concentric_sample_disk(p_lens[..., 0], p_lens[..., 1])
-    p_lens3 = cam.lens_radius * vec(lx, ly, jnp.zeros_like(lx))
-    ft = cam.focal_dist / d[..., 2]
-    p_focus = o + ft[..., None] * d
+    lx, ly = concentric_sample_disk(lens_u, lens_v)
+    p_lens3 = V3(cam.lens_radius * lx, cam.lens_radius * ly,
+                 jnp.zeros_like(lx))
+    ft = cam.focal_dist / d.z
+    p_focus = o + d * ft
     dof_d = normalize(p_focus - p_lens3)
 
     use_dof = cam.lens_radius > 0.0
-    o = jnp.where(use_dof, p_lens3, o)
-    d = jnp.where(use_dof, dof_d, d)
+    o = where3(use_dof, p_lens3, o)
+    d = where3(use_dof, dof_d, d)
 
-    o_w = tf.transform_point(cam.camera_to_world, o)
-    d_w = tf.transform_vector(cam.camera_to_world, d)
+    o_w = tf.transform_point_v3(cam.camera_to_world, o)
+    d_w = tf.transform_vector_v3(cam.camera_to_world, d)
     t_max = jnp.full(n, jnp.inf, Float)
 
     if not with_differentials:
@@ -129,17 +132,19 @@ def generate_rays(cam: PerspectiveCamera, p_film: jnp.ndarray,
 
     # pinhole-style differentials; under DoF the lens origin is shared
     # (reference camera/mod.rs:162-176 keeps p_lens for rx/ry origins)
-    dx = normalize(p_cam + cam.dx_camera)
-    dy = normalize(p_cam + cam.dy_camera)
-    ft_x = cam.focal_dist / dx[..., 2]
-    ft_y = cam.focal_dist / dy[..., 2]
-    dx_dof = normalize(ft_x[..., None] * dx - p_lens3)
-    dy_dof = normalize(ft_y[..., None] * dy - p_lens3)
-    dx = jnp.where(use_dof, dx_dof, dx)
-    dy = jnp.where(use_dof, dy_dof, dy)
+    dxc = V3(cam.dx_camera[0], cam.dx_camera[1], cam.dx_camera[2])
+    dyc = V3(cam.dy_camera[0], cam.dy_camera[1], cam.dy_camera[2])
+    dx = normalize(p_cam + dxc)
+    dy = normalize(p_cam + dyc)
+    ft_x = cam.focal_dist / dx.z
+    ft_y = cam.focal_dist / dy.z
+    dx_dof = normalize(dx * ft_x - p_lens3)
+    dy_dof = normalize(dy * ft_y - p_lens3)
+    dx = where3(use_dof, dx_dof, dx)
+    dy = where3(use_dof, dy_dof, dy)
 
     rx_o = ry_o = o_w
-    rx_d = tf.transform_vector(cam.camera_to_world, dx)
-    ry_d = tf.transform_vector(cam.camera_to_world, dy)
+    rx_d = tf.transform_vector_v3(cam.camera_to_world, dx)
+    ry_d = tf.transform_vector_v3(cam.camera_to_world, dy)
     return Rays(o=o_w, d=d_w, t_max=t_max,
                 rx_o=rx_o, rx_d=rx_d, ry_o=ry_o, ry_d=ry_d)

@@ -17,9 +17,11 @@ TPU-native analog of reference ``src/reflection/`` + ``src/material/``:
     for non-specular picks (bsdf.rs:85-129).
 - Local frame = (ss, ts, ns) from the hit record (bsdf.rs:31-46).
 
-Everything is differentiable w.r.t. the texture-fed parameters (kd, ks,
-roughness, eta, k); sampled directions are *choices* and get detached by
-the integrator (detached-sampling gradient estimator).
+Everything flows in component-SoA V3 layout (three flat [N] arrays, zero
+TPU tile padding — see core.vecmath.V3). Everything is differentiable
+w.r.t. the texture-fed parameters (kd, ks, roughness, eta, k); sampled
+directions are *choices* and get detached by the integrator
+(detached-sampling gradient estimator).
 """
 from __future__ import annotations
 
@@ -27,8 +29,10 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from fountain_tpu.core.gather import gather_rows3
 from fountain_tpu.core.sampling import cosine_sample_hemisphere
-from fountain_tpu.core.vecmath import INV_PI, dot, normalize, vec
+from fountain_tpu.core.vecmath import (INV_PI, V3, dot, normalize, refract,
+                                       where3)
 from fountain_tpu.geometry.intersect import Hit
 from fountain_tpu.scene.types import (MAT_GLASS, MAT_MATTE, MAT_METAL,
                                       MAT_MIRROR, MAT_PLASTIC, Scene)
@@ -40,14 +44,14 @@ from fountain_tpu.shading.textures import eval_texture
 class ShadeParams(NamedTuple):
     """Per-lane shading parameters after texture evaluation."""
     mtype: jnp.ndarray   # [N] int32 (-1 = null bsdf)
-    kd: jnp.ndarray      # [N, 3]
-    ks: jnp.ndarray      # [N, 3]
-    kr: jnp.ndarray      # [N, 3]
-    kt: jnp.ndarray      # [N, 3]
+    kd: V3
+    ks: V3
+    kr: V3
+    kt: V3
     sigma: jnp.ndarray   # [N] Oren-Nayar sigma (degrees)
     eta: jnp.ndarray     # [N] dielectric ior
-    eta3: jnp.ndarray    # [N, 3] conductor ior
-    k3: jnp.ndarray      # [N, 3] conductor absorption
+    eta3: V3             # conductor ior
+    k3: V3               # conductor absorption
     alpha_u: jnp.ndarray  # [N] microfacet alpha (post-remap)
     alpha_v: jnp.ndarray  # [N]
     rough_raw: jnp.ndarray  # [N] pre-remap roughness (0 => smooth glass)
@@ -63,30 +67,30 @@ def gather_shading(scene: Scene, hit: Hit, tex_lookup=None,
     """
     m = scene.materials
     mid = jnp.clip(hit.mat_id, 0, max(m.count - 1, 0))
-    uv = hit.uv
     tex = scene.textures
     if tex_lookup is None and scene.env_images is not None:
         from fountain_tpu.shading.mipmap import lookup_trilinear
         atlas = scene.env_images
         tex_lookup = lambda iid, u, v, w=None: lookup_trilinear(
             atlas, iid, u, v, w)
-    ev = lambda tid: eval_texture(tex, tid, uv, tex_lookup=tex_lookup,
-                                  width=tex_width)
+    ev = lambda tid: eval_texture(tex, tid, hit.u, hit.v,
+                                  tex_lookup=tex_lookup, width=tex_width)
 
     kd = ev(m.kd_tex[mid])
     ks = ev(m.ks_tex[mid])
     kr = ev(m.kr_tex[mid])
     kt = ev(m.kt_tex[mid])
-    sigma = ev(m.sigma_tex[mid])[..., 0]
-    rough_u = ev(m.rough_u_tex[mid])[..., 0]
-    rough_v = ev(m.rough_v_tex[mid])[..., 0]
+    sigma = ev(m.sigma_tex[mid]).x
+    rough_u = ev(m.rough_u_tex[mid]).x
+    rough_v = ev(m.rough_v_tex[mid]).x
     remap = m.remap_roughness[mid]
     alpha_u = jnp.where(remap, mf.roughness_to_alpha(rough_u), rough_u)
     alpha_v = jnp.where(remap, mf.roughness_to_alpha(rough_v), rough_v)
     return ShadeParams(
         mtype=jnp.where(hit.mat_id >= 0, m.mtype[mid], -1).astype(jnp.int32),
         kd=kd, ks=ks, kr=kr, kt=kt, sigma=sigma,
-        eta=m.eta[mid], eta3=m.eta3[mid], k3=m.k3[mid],
+        eta=m.eta[mid], eta3=gather_rows3(m.eta3, mid),
+        k3=gather_rows3(m.k3, mid),
         alpha_u=alpha_u, alpha_v=alpha_v,
         rough_raw=jnp.maximum(rough_u, rough_v))
 
@@ -94,23 +98,22 @@ def gather_shading(scene: Scene, hit: Hit, tex_lookup=None,
 # --- frame conversion (bsdf.rs:48-65) --------------------------------------
 
 
-def world_to_local(hit: Hit, v: jnp.ndarray) -> jnp.ndarray:
-    return vec(dot(v, hit.ss), dot(v, hit.ts), dot(v, hit.ns))
+def world_to_local(hit: Hit, v: V3) -> V3:
+    return V3(dot(v, hit.ss), dot(v, hit.ts), dot(v, hit.ns))
 
 
-def local_to_world(hit: Hit, v: jnp.ndarray) -> jnp.ndarray:
-    return (v[..., 0:1] * hit.ss + v[..., 1:2] * hit.ts
-            + v[..., 2:3] * hit.ns)
+def local_to_world(hit: Hit, v: V3) -> V3:
+    return hit.ss * v.x + hit.ts * v.y + hit.ns * v.z
 
 
 # --- individual lobe models (local frame) ----------------------------------
 
 
-def _lambert_f(kd):
+def _lambert_f(kd: V3) -> V3:
     return kd * INV_PI
 
 
-def _oren_nayar_f(kd, sigma_deg, wo, wi):
+def _oren_nayar_f(kd: V3, sigma_deg, wo: V3, wi: V3) -> V3:
     """Oren-Nayar qualitative model (reference reflection/mod.rs:253-297)."""
     sigma = jnp.deg2rad(sigma_deg)
     s2 = sigma * sigma
@@ -129,28 +132,28 @@ def _oren_nayar_f(kd, sigma_deg, wo, wi):
     tan_beta = jnp.where(abs_ci > abs_co,
                          sin_ti / jnp.maximum(abs_ci, 1e-6),
                          sin_to / jnp.maximum(abs_co, 1e-6))
-    return kd * (INV_PI * (a + b * max_cos * sin_alpha * tan_beta))[..., None]
+    return kd * (INV_PI * (a + b * max_cos * sin_alpha * tan_beta))
 
 
-def _microfacet_reflection_f(ks, fresnel_fn, wo, wi, ax, ay):
+def _microfacet_reflection_f(ks: V3, fresnel_fn, wo: V3, wi: V3, ax, ay) -> V3:
     """Torrance-Sparrow (reference reflection/mod.rs:300-361).
 
-    ``fresnel_fn(cos_i) -> [..., 3]`` (dielectric wrapped to a channel dim).
+    ``fresnel_fn(cos_i) -> V3``.
     """
     cos_o = mf.abs_cos_theta(wo)
     cos_i = mf.abs_cos_theta(wi)
     wh = wi + wo
-    degen = (cos_i == 0.0) | (cos_o == 0.0) | (jnp.sum(wh * wh, -1) == 0.0)
+    degen = (cos_i == 0.0) | (cos_o == 0.0) | (dot(wh, wh) == 0.0)
     wh = normalize(wh)
     # fresnel at wh (faceforward to +z side, reflection/mod.rs:330)
-    f_term = fresnel_fn(dot(wi, jnp.where(wh[..., 2:3] < 0, -wh, wh)))
+    f_term = fresnel_fn(dot(wi, where3(wh.z < 0, -wh, wh)))
     d = mf.tr_d(wh, ax, ay)
     g = mf.smith_g(mf.tr_lambda(wo, ax, ay), mf.tr_lambda(wi, ax, ay))
-    val = ks * f_term * (d * g / jnp.maximum(4.0 * cos_i * cos_o, 1e-8))[..., None]
-    return jnp.where(degen[..., None], 0.0, val)
+    val = ks * f_term * (d * g / jnp.maximum(4.0 * cos_i * cos_o, 1e-8))
+    return where3(degen, 0.0, val)
 
 
-def _microfacet_reflection_pdf(wo, wi, ax, ay):
+def _microfacet_reflection_pdf(wo: V3, wi: V3, ax, ay):
     wh = normalize(wi + wo)
     same = mf.same_hemisphere(wo, wi)
     pdf_wh = mf.mf_pdf(mf.tr_d(wh, ax, ay), wh)
@@ -158,14 +161,15 @@ def _microfacet_reflection_pdf(wo, wi, ax, ay):
     return jnp.where(same & (dot(wo, wh) > 0), pdf, 0.0)
 
 
-def _microfacet_transmission_f(kt, eta_a, eta_b, wo, wi, ax, ay):
+def _microfacet_transmission_f(kt: V3, eta_a, eta_b, wo: V3, wi: V3,
+                               ax, ay) -> V3:
     """Reference reflection/mod.rs:363-439 (pbrt rough transmission)."""
     same = mf.same_hemisphere(wo, wi)
     cos_o = mf.cos_theta(wo)
     cos_i = mf.cos_theta(wi)
     eta = jnp.where(cos_o > 0.0, eta_b / eta_a, eta_a / eta_b)
-    wh = normalize(wo + wi * eta[..., None])
-    wh = jnp.where(wh[..., 2:3] < 0.0, -wh, wh)
+    wh = normalize(wo + wi * eta)
+    wh = where3(wh.z < 0.0, -wh, wh)
     f_term = fresnel_dielectric(dot(wo, wh), eta_a, eta_b)
     sqrt_denom = dot(wo, wh) + eta * dot(wi, wh)
     d = mf.tr_d(wh, ax, ay)
@@ -174,19 +178,18 @@ def _microfacet_transmission_f(kt, eta_a, eta_b, wo, wi, ax, ay):
     val = (d * g * jnp.abs(dot(wi, wh)) * jnp.abs(dot(wo, wh))
            / jnp.maximum(jnp.abs(cos_i * cos_o) * sqrt_denom ** 2, 1e-8))
     ok = (~same) & (cos_i != 0.0) & (cos_o != 0.0)
-    return jnp.where(ok[..., None], kt * ((1.0 - f_term) * val)[..., None], 0.0)
+    return where3(ok, kt * ((1.0 - f_term) * val), 0.0)
 
 
-def _microfacet_transmission_pdf(eta_a, eta_b, wo, wi, ax, ay):
+def _microfacet_transmission_pdf(eta_a, eta_b, wo: V3, wi: V3, ax, ay):
     same = mf.same_hemisphere(wo, wi)
     cos_o = mf.cos_theta(wo)
     eta = jnp.where(cos_o > 0.0, eta_b / eta_a, eta_a / eta_b)
-    wh = normalize(wo + wi * eta[..., None])
+    wh = normalize(wo + wi * eta)
     sqrt_denom = dot(wo, wh) + eta * dot(wi, wh)
     dwh_dwi = jnp.abs((eta * eta * dot(wi, wh))
                       / jnp.maximum(sqrt_denom * sqrt_denom, 1e-12))
-    pdf_wh = mf.mf_pdf(mf.tr_d(jnp.where(wh[..., 2:3] < 0, -wh, wh), ax, ay),
-                       wh)
+    pdf_wh = mf.mf_pdf(mf.tr_d(where3(wh.z < 0, -wh, wh), ax, ay), wh)
     return jnp.where(same, 0.0, pdf_wh * dwh_dwi)
 
 
@@ -194,8 +197,8 @@ def _microfacet_transmission_pdf(eta_a, eta_b, wo, wi, ax, ay):
 
 
 class BsdfSample(NamedTuple):
-    wi: jnp.ndarray         # [N, 3] local frame
-    f: jnp.ndarray          # [N, 3]
+    wi: V3                  # local frame
+    f: V3
     pdf: jnp.ndarray        # [N]
     is_specular: jnp.ndarray  # [N] bool
     valid: jnp.ndarray      # [N] bool
@@ -205,40 +208,45 @@ def _matte_f_pdf(sp: ShadeParams, wo, wi):
     same = mf.same_hemisphere(wo, wi)
     f_lam = _lambert_f(sp.kd)
     f_on = _oren_nayar_f(sp.kd, sp.sigma, wo, wi)
-    f = jnp.where((sp.sigma == 0.0)[..., None], f_lam, f_on)
+    f = where3(sp.sigma == 0.0, f_lam, f_on)
     pdf = mf.abs_cos_theta(wi) * INV_PI
-    return (jnp.where(same[..., None], f, 0.0), jnp.where(same, pdf, 0.0))
+    return where3(same, f, 0.0), jnp.where(same, pdf, 0.0)
 
 
 def _metal_f_pdf(sp: ShadeParams, wo, wi):
-    fr = lambda ci: fresnel_conductor(ci, jnp.ones_like(sp.eta3),
-                                      sp.eta3, sp.k3)
+    one3 = V3(jnp.ones_like(sp.eta), jnp.ones_like(sp.eta),
+              jnp.ones_like(sp.eta))
+    fr = lambda ci: fresnel_conductor(ci, one3, sp.eta3, sp.k3)
     same = mf.same_hemisphere(wo, wi)
-    f = _microfacet_reflection_f(jnp.ones_like(sp.kd), fr, wo, wi,
-                                 sp.alpha_u, sp.alpha_v)
+    f = _microfacet_reflection_f(one3, fr, wo, wi, sp.alpha_u, sp.alpha_v)
     pdf = _microfacet_reflection_pdf(wo, wi, sp.alpha_u, sp.alpha_v)
-    return jnp.where(same[..., None], f, 0.0), pdf
+    return where3(same, f, 0.0), pdf
 
 
 def _plastic_f_pdf(sp: ShadeParams, wo, wi):
     same = mf.same_hemisphere(wo, wi)
-    f_spec = _microfacet_reflection_f(
-        sp.ks, lambda ci: fresnel_dielectric(ci, 1.5, 1.0)[..., None],
-        wo, wi, sp.alpha_u, sp.alpha_u)
+
+    def fr_d(ci):
+        v = fresnel_dielectric(ci, 1.5, 1.0)
+        return V3(v, v, v)
+    f_spec = _microfacet_reflection_f(sp.ks, fr_d, wo, wi,
+                                      sp.alpha_u, sp.alpha_u)
     f = _lambert_f(sp.kd) + f_spec
     pdf_l = mf.abs_cos_theta(wi) * INV_PI
     pdf_m = _microfacet_reflection_pdf(wo, wi, sp.alpha_u, sp.alpha_u)
     pdf = 0.5 * (pdf_l + pdf_m)
-    return (jnp.where(same[..., None], f, 0.0), jnp.where(same, pdf, 0.0))
+    return where3(same, f, 0.0), jnp.where(same, pdf, 0.0)
 
 
 def _glass_rough_f_pdf(sp: ShadeParams, wo, wi):
-    fr = lambda ci: fresnel_dielectric(ci, 1.0, sp.eta)[..., None]
+    def fr(ci):
+        v = fresnel_dielectric(ci, 1.0, sp.eta)
+        return V3(v, v, v)
     f_r = _microfacet_reflection_f(sp.kr, fr, wo, wi, sp.alpha_u, sp.alpha_v)
     f_t = _microfacet_transmission_f(sp.kt, jnp.ones_like(sp.eta), sp.eta,
                                      wo, wi, sp.alpha_u, sp.alpha_v)
     same = mf.same_hemisphere(wo, wi)
-    f = jnp.where(same[..., None], f_r, f_t)
+    f = where3(same, f_r, f_t)
     pdf_r = _microfacet_reflection_pdf(wo, wi, sp.alpha_u, sp.alpha_v)
     pdf_t = _microfacet_transmission_pdf(jnp.ones_like(sp.eta), sp.eta,
                                          wo, wi, sp.alpha_u, sp.alpha_v)
@@ -246,28 +254,26 @@ def _glass_rough_f_pdf(sp: ShadeParams, wo, wi):
     return f, pdf
 
 
-def bsdf_f_pdf(sp: ShadeParams, wo, wi):
+def bsdf_f_pdf(sp: ShadeParams, wo: V3, wi: V3):
     """Non-specular f and pdf for NEE/MIS (bsdf.rs:67-82, :131-144 with
     SPECULAR excluded — specular lobes contribute nothing here).
 
-    wo/wi in local frame. Returns (f [N,3], pdf [N]).
+    wo/wi in local frame. Returns (f V3, pdf [N]).
     """
-    zero3 = jnp.zeros_like(sp.kd)
     zero = jnp.zeros_like(sp.eta)
-
-    f, pdf = zero3, zero
+    f, pdf = V3(zero, zero, zero), zero
     for mtype, fn in ((MAT_MATTE, _matte_f_pdf),
                       (MAT_METAL, _metal_f_pdf),
                       (MAT_PLASTIC, _plastic_f_pdf)):
         fi, pi = fn(sp, wo, wi)
         sel = sp.mtype == mtype
-        f = jnp.where(sel[..., None], fi, f)
+        f = where3(sel, fi, f)
         pdf = jnp.where(sel, pi, pdf)
 
     # glass: only the rough variant is non-specular
     fi, pi = _glass_rough_f_pdf(sp, wo, wi)
     sel = (sp.mtype == MAT_GLASS) & (sp.rough_raw > 0.0)
-    f = jnp.where(sel[..., None], fi, f)
+    f = where3(sel, fi, f)
     pdf = jnp.where(sel, pi, pdf)
     # mirror / smooth glass: f = 0, pdf = 0 (specular only)
     return f, pdf
@@ -280,41 +286,34 @@ def has_non_specular(sp: ShadeParams):
             | ((sp.mtype == MAT_GLASS) & (sp.rough_raw > 0.0)))
 
 
-def bsdf_sample(sp: ShadeParams, wo, u_lobe, u1, u2) -> BsdfSample:
+def bsdf_sample(sp: ShadeParams, wo: V3, u_lobe, u1, u2) -> BsdfSample:
     """Sample a continuation direction (bsdf.rs:85-129 semantics).
 
     All candidate strategies are evaluated; the material type plus the
     uniform lobe pick select the result. Returns local-frame wi.
     """
-    n = sp.eta.shape
-    zero3 = jnp.zeros_like(sp.kd)
-
     # candidate A: cosine hemisphere on wo's side (DefaultSampleF,
     # reflection/mod.rs:116-147)
     wi_cos = cosine_sample_hemisphere(u1, u2)
-    wi_cos = jnp.where((wo[..., 2] < 0.0)[..., None],
-                       wi_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_cos)
+    wi_cos = where3(wo.z < 0.0, V3(wi_cos.x, wi_cos.y, -wi_cos.z), wi_cos)
 
     # candidate B: GGX half-vector reflect
     wh = mf.tr_sample_wh(u1, u2, sp.alpha_u, sp.alpha_v)
-    wh_f = jnp.where((wo[..., 2] < 0.0)[..., None], -wh, wh)  # wo side
-    wi_mf = normalize(2.0 * dot(wo, wh_f)[..., None] * wh_f - wo)
+    wh_f = where3(wo.z < 0.0, -wh, wh)  # wo side
+    wi_mf = normalize(wh_f * (2.0 * dot(wo, wh_f)) - wo)
 
     # candidate C: perfect mirror
-    wi_mirror = wo * jnp.asarray([-1.0, -1.0, 1.0])
+    wi_mirror = V3(-wo.x, -wo.y, wo.z)
 
     # candidate D: specular refraction about +z/-z
-    entering = wo[..., 2] > 0.0
+    entering = wo.z > 0.0
     eta_rel = jnp.where(entering, 1.0 / sp.eta, sp.eta)
-    nloc = jnp.where(entering[..., None],
-                     jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), wo.shape),
-                     jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), wo.shape))
-    from fountain_tpu.core.vecmath import refract
+    zer = jnp.zeros_like(wo.z)
+    nloc = V3(zer, zer, jnp.where(entering, 1.0, -1.0))
     wi_refr, refr_ok = refract(wo, nloc, eta_rel)
     wi_refr = normalize(wi_refr)
 
     mtype = sp.mtype
-    is_matte = mtype == MAT_MATTE
     is_mirror = mtype == MAT_MIRROR
     is_metal = mtype == MAT_METAL
     is_plastic = mtype == MAT_PLASTIC
@@ -325,41 +324,37 @@ def bsdf_sample(sp: ShadeParams, wo, u_lobe, u1, u2) -> BsdfSample:
 
     # --- select sampled wi per material
     wi = wi_cos  # matte
-    wi = jnp.where(is_mirror[..., None], wi_mirror, wi)
-    wi = jnp.where(is_metal[..., None], wi_mf, wi)
-    wi = jnp.where(is_plastic[..., None],
-                   jnp.where(pick_first[..., None], wi_cos, wi_mf), wi)
+    wi = where3(is_mirror, wi_mirror, wi)
+    wi = where3(is_metal, wi_mf, wi)
+    wi = where3(is_plastic, where3(pick_first, wi_cos, wi_mf), wi)
     # smooth glass: reflect or refract; rough glass: mf reflect or mf refract
     wh_t = wh_f
     eta_t = jnp.where(mf.cos_theta(wo) > 0.0, 1.0 / sp.eta, sp.eta)
-    wi_mft, mft_ok = refract(wo, jnp.where(dot(wo, wh_t)[..., None] < 0, -wh_t, wh_t), eta_t)
+    wi_mft, mft_ok = refract(wo, where3(dot(wo, wh_t) < 0, -wh_t, wh_t),
+                             eta_t)
     wi_mft = normalize(wi_mft)
-    wi = jnp.where(glass_smooth[..., None],
-                   jnp.where(pick_first[..., None], wi_mirror, wi_refr), wi)
-    wi = jnp.where(glass_rough[..., None],
-                   jnp.where(pick_first[..., None], wi_mf, wi_mft), wi)
+    wi = where3(glass_smooth, where3(pick_first, wi_mirror, wi_refr), wi)
+    wi = where3(glass_rough, where3(pick_first, wi_mf, wi_mft), wi)
 
     # --- f, pdf, specular flag per material
     abs_ci = mf.abs_cos_theta(wi)
     safe_ci = jnp.maximum(abs_ci, 1e-8)
 
-    # matte
-    f_ns, pdf_ns = bsdf_f_pdf(sp, wo, wi)   # non-specular aggregate at wi
-    # two-lobe non-specular materials already have pdf averaged inside
+    # matte / metal / plastic / rough glass: non-specular aggregate at wi
+    f_ns, pdf_ns = bsdf_f_pdf(sp, wo, wi)
 
     # mirror: F noop => kr / |cos|
-    f_mirror = sp.kr / safe_ci[..., None]
+    f_mirror = sp.kr * (1.0 / safe_ci)
     # smooth glass lobes
     fr_d = fresnel_dielectric(mf.cos_theta(wo), 1.0, sp.eta)
-    f_g_refl = sp.kr * (fr_d / safe_ci)[..., None]
-    f_g_refr = sp.kt * ((1.0 - fr_d) / safe_ci)[..., None]
+    f_g_refl = sp.kr * (fr_d / safe_ci)
+    f_g_refr = sp.kt * ((1.0 - fr_d) / safe_ci)
 
     f = f_ns
     pdf = pdf_ns
-    f = jnp.where(is_mirror[..., None], f_mirror, f)
+    f = where3(is_mirror, f_mirror, f)
     pdf = jnp.where(is_mirror, 1.0, pdf)
-    f = jnp.where(glass_smooth[..., None],
-                  jnp.where(pick_first[..., None], f_g_refl, f_g_refr), f)
+    f = where3(glass_smooth, where3(pick_first, f_g_refl, f_g_refr), f)
     pdf = jnp.where(glass_smooth, 0.5, pdf)
 
     is_specular = is_mirror | glass_smooth

@@ -41,26 +41,30 @@ def fresnel_dielectric(cos_theta_i, eta_i, eta_t):
 def fresnel_conductor(cos_theta_i, eta_i, eta_t, k):
     """Conductor Fresnel with complex IOR eta_t + i*k, per channel.
 
-    Inputs broadcast: cos_theta_i [...], eta_i/eta_t/k [..., 3] (or scalars).
-    Mirrors reference fresnel.rs:25-48 (pbrt FrConductor).
+    cos_theta_i [N]; eta_i/eta_t/k V3 (per-RGB-channel) — returns V3.
+    Mirrors reference fresnel.rs:25-48 (pbrt FrConductor); evaluated once
+    per component in flat-[N] layout (see core.vecmath.V3).
     """
-    cos_i = jnp.clip(jnp.abs(cos_theta_i), 0.0, 1.0)[..., None]
-    eta = eta_t / eta_i
-    eta_k = k / eta_i
-
+    from fountain_tpu.core.vecmath import V3
+    cos_i = jnp.clip(jnp.abs(cos_theta_i), 0.0, 1.0)
     cos2 = cos_i * cos_i
     sin2 = 1.0 - cos2
-    eta2 = eta * eta
-    eta_k2 = eta_k * eta_k
 
-    t0 = eta2 - eta_k2 - sin2
-    a2_plus_b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * eta_k2, 0.0))
-    t1 = a2_plus_b2 + cos2
-    a = jnp.sqrt(jnp.maximum(0.5 * (a2_plus_b2 + t0), 0.0))
-    t2 = 2.0 * a * cos_i
-    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
+    def chan(ei, et, kk):
+        eta = et / ei
+        eta_k = kk / ei
+        eta2 = eta * eta
+        eta_k2 = eta_k * eta_k
+        t0 = eta2 - eta_k2 - sin2
+        a2_plus_b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * eta_k2, 0.0))
+        t1 = a2_plus_b2 + cos2
+        a = jnp.sqrt(jnp.maximum(0.5 * (a2_plus_b2 + t0), 0.0))
+        t2 = 2.0 * a * cos_i
+        rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
+        t3 = cos2 * a2_plus_b2 + sin2 * sin2
+        t4 = t2 * sin2
+        rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-20)
+        return 0.5 * (rp + rs)
 
-    t3 = cos2 * a2_plus_b2 + sin2 * sin2
-    t4 = t2 * sin2
-    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-20)
-    return 0.5 * (rp + rs)
+    return V3(chan(eta_i.x, eta_t.x, k.x), chan(eta_i.y, eta_t.y, k.y),
+              chan(eta_i.z, eta_t.z, k.z))

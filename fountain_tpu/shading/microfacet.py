@@ -14,21 +14,21 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from fountain_tpu.core.vecmath import PI, vec
+from fountain_tpu.core.vecmath import PI, V3, vec
 
 # local-frame trig helpers (reference reflection/mod.rs helpers)
 
 
 def cos_theta(w):
-    return w[..., 2]
+    return w.z
 
 
 def cos2_theta(w):
-    return w[..., 2] * w[..., 2]
+    return w.z * w.z
 
 
 def abs_cos_theta(w):
-    return jnp.abs(w[..., 2])
+    return jnp.abs(w.z)
 
 
 def sin2_theta(w):
@@ -41,16 +41,16 @@ def tan2_theta(w):
 
 def cos_phi(w):
     s = jnp.sqrt(sin2_theta(w))
-    return jnp.where(s == 0.0, 1.0, jnp.clip(w[..., 0] / jnp.maximum(s, 1e-20), -1.0, 1.0))
+    return jnp.where(s == 0.0, 1.0, jnp.clip(w.x / jnp.maximum(s, 1e-20), -1.0, 1.0))
 
 
 def sin_phi(w):
     s = jnp.sqrt(sin2_theta(w))
-    return jnp.where(s == 0.0, 0.0, jnp.clip(w[..., 1] / jnp.maximum(s, 1e-20), -1.0, 1.0))
+    return jnp.where(s == 0.0, 0.0, jnp.clip(w.y / jnp.maximum(s, 1e-20), -1.0, 1.0))
 
 
 def same_hemisphere(a, b):
-    return a[..., 2] * b[..., 2] > 0.0
+    return a.z * b.z > 0.0
 
 
 def roughness_to_alpha(roughness):
@@ -101,7 +101,7 @@ def tr_sample_wh(u1, u2, ax, ay):
     tan2 = jnp.where(iso, tan2_i, tan2_a)
     cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-    return vec(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
+    return V3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
 
 
 # --- Beckmann, reference microfacet.rs:34-116 ------------------------------
@@ -146,7 +146,7 @@ def beckmann_sample_wh(u1, u2, ax, ay):
     tan2 = jnp.where(iso, tan2_i, tan2_a)
     cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-    return vec(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
+    return V3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
 
 
 # --- shared G / pdf --------------------------------------------------------

@@ -160,7 +160,11 @@ def _wrap_coord(c, n, wrap):
 
 def _bilerp_level(atlas: ImageAtlas, image_id, level, u, v):
     """Bilinear fetch at one mip level (reference MIPMap::triangle,
-    mipmap.rs:264-279); all args per-lane arrays."""
+    mipmap.rs:264-279); all args per-lane arrays. Returns a component-SoA
+    V3 (three flat [N] texel-channel gathers — zero tile padding; the old
+    [N, 3] row gather padded 42.7x when materialized)."""
+    from fountain_tpu.core.gather import take3
+    from fountain_tpu.core.vecmath import where3
     level = jnp.clip(level, 0, atlas.n_levels[image_id] - 1)
     off = atlas.level_offset[image_id, level]
     w = atlas.level_w[image_id, level]
@@ -171,24 +175,24 @@ def _bilerp_level(atlas: ImageAtlas, image_id, level, u, v):
     t = v * h.astype(Float) - 0.5
     s0 = jnp.floor(s).astype(jnp.int32)
     t0 = jnp.floor(t).astype(jnp.int32)
-    ds = (s - s0)[..., None]
-    dt = (t - t0)[..., None]
+    ds = s - s0
+    dt = t - t0
 
     def texel(si, ti):
         xi, okx = _wrap_coord(si, w, wrap)
         yi, oky = _wrap_coord(ti, h, wrap)
-        val = atlas.texels[off + yi * w + xi]
-        return jnp.where((okx & oky)[..., None], val, 0.0)
+        val = take3(atlas.texels, off + yi * w + xi)
+        return where3(okx & oky, val, 0.0)
 
-    return ((1 - ds) * (1 - dt) * texel(s0, t0)
-            + (1 - ds) * dt * texel(s0, t0 + 1)
-            + ds * (1 - dt) * texel(s0 + 1, t0)
-            + ds * dt * texel(s0 + 1, t0 + 1))
+    return (texel(s0, t0) * ((1 - ds) * (1 - dt))
+            + texel(s0, t0 + 1) * ((1 - ds) * dt)
+            + texel(s0 + 1, t0) * (ds * (1 - dt))
+            + texel(s0 + 1, t0 + 1) * (ds * dt))
 
 
 def lookup_trilinear(atlas: ImageAtlas, image_id, u, v, width=None):
     """Trilinear (width-selected mip level) lookup, batched over lanes
-    (reference lookup_trilinear_width, mipmap.rs:245-262).
+    (reference lookup_trilinear_width, mipmap.rs:245-262). Returns V3.
 
     width: per-lane filter width in uv space (None / 0 => finest level).
     """
@@ -202,7 +206,7 @@ def lookup_trilinear(atlas: ImageAtlas, image_id, u, v, width=None):
     lvl = nl - 1.0 + jnp.log2(width)
     lvl = jnp.clip(lvl, 0.0, nl - 1.0)
     l0 = jnp.floor(lvl).astype(jnp.int32)
-    dl = (lvl - l0.astype(Float))[..., None]
+    dl = lvl - l0.astype(Float)
     a = _bilerp_level(atlas, image_id, l0, u, v)
     b = _bilerp_level(atlas, image_id, l0 + 1, u, v)
-    return (1.0 - dl) * a + dl * b
+    return a * (1.0 - dl) + b * dl

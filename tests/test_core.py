@@ -145,16 +145,17 @@ class TestSampling:
     def test_cosine_hemisphere_upper(self):
         u = np.random.RandomState(1).rand(2, 1000).astype(np.float32)
         w = sampling.cosine_sample_hemisphere(jnp.asarray(u[0]), jnp.asarray(u[1]))
-        assert np.all(np.asarray(w[..., 2]) >= 0.0)
+        assert np.all(np.asarray(w.z) >= 0.0)
         np.testing.assert_allclose(vm.length(w), 1.0, atol=1e-3)
         # E[cos(theta)] = 2/3 under cosine-weighted sampling
-        assert abs(float(jnp.mean(w[..., 2])) - 2.0 / 3.0) < 0.02
+        assert abs(float(jnp.mean(w.z)) - 2.0 / 3.0) < 0.02
 
     def test_uniform_sphere_mean_zero(self):
         u = np.random.RandomState(2).rand(2, 4000).astype(np.float32)
         w = sampling.uniform_sample_sphere(jnp.asarray(u[0]), jnp.asarray(u[1]))
         np.testing.assert_allclose(vm.length(w), 1.0, atol=1e-3)
-        assert np.all(np.abs(np.asarray(jnp.mean(w, axis=0))) < 0.05)
+        for c in (w.x, w.y, w.z):
+            assert abs(float(jnp.mean(c))) < 0.05
 
     def test_power_heuristic(self):
         # mirrors reference sampling.rs power_heuristic semantics

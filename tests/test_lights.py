@@ -114,14 +114,16 @@ def test_env_importance_sampling_unbiased():
     scene = b.build()
     assert scene.env_dist is not None
 
+    from fountain_tpu.core.vecmath import V3, where3, zeros3
+
     n = 1 << 17
     u = np.random.default_rng(0).uniform(size=(2, n)).astype(np.float32)
     li = jnp.zeros((n,), jnp.int32)
-    ref = jnp.zeros((n, 3))
+    ref = zeros3((n,))
     ls = sample_light(scene, li, ref, jnp.asarray(u[0]), jnp.asarray(u[1]))
-    est = jnp.where(ls.pdf[:, None] > 0.0,
-                    ls.radiance / jnp.maximum(ls.pdf, 1e-12)[:, None],
-                    0.0).mean(0)
+    est = where3(ls.pdf > 0.0,
+                 ls.radiance / jnp.maximum(ls.pdf, 1e-12),
+                 0.0).stack().mean(0)
 
     # dense quadrature of the bilerped map (16x supersampling per texel)
     from fountain_tpu.shading.mipmap import lookup_trilinear
@@ -132,7 +134,7 @@ def test_env_importance_sampling_unbiased():
     rad = lookup_trilinear(scene.env_images,
                            jnp.zeros(ug.size, jnp.int32),
                            jnp.asarray(ug.ravel(), jnp.float32),
-                           jnp.asarray(vg.ravel(), jnp.float32))
+                           jnp.asarray(vg.ravel(), jnp.float32)).stack()
     theta = np.pi * (1.0 - vg.ravel())
     dod = (2 * np.pi / wq) * (np.pi / hq) * np.sin(theta)
     quad = float((np.asarray(rad)[:, 0] * dod).sum())
@@ -156,7 +158,7 @@ def test_mipmap_constant_image_all_widths():
     for width in [None, 0.01, 0.1, 0.5, 1.0]:
         w = None if width is None else jnp.full((17,), width)
         out = lookup_trilinear(atlas, iid, key_u, key_v, w)
-        np.testing.assert_allclose(np.asarray(out), 0.7, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out.stack()), 0.7, atol=1e-3)
 
 
 def test_mipmap_pyramid_mean_preserved():

@@ -8,8 +8,14 @@ without TPU hardware. Small sizes only — the interpreter is slow.
 import numpy as np
 import jax.numpy as jnp
 
+from fountain_tpu.core.vecmath import V3
 from fountain_tpu.geometry.pallas_tri import (BC, BN, mt_intersect_pallas,
                                               pack_features_pallas)
+
+
+def _v3(a):
+    a = jnp.asarray(a)
+    return V3(a[..., 0], a[..., 1], a[..., 2])
 from fountain_tpu.geometry.tensor_tri import build_tri_features, mt_intersect
 
 
@@ -40,7 +46,8 @@ def test_pallas_matches_tensor_path():
     t_max = jnp.full((n,), jnp.inf, jnp.float32)
 
     t0, i0, ok0 = mt_intersect(feat, o, d, t_max)
-    t1, i1, ok1 = mt_intersect_pallas(qdata, o, d, t_max, interpret=True)
+    t1, i1, ok1 = mt_intersect_pallas(qdata, _v3(o), _v3(d), t_max,
+                                      interpret=True)
     ok0, ok1, t0, t1, i0, i1 = map(np.asarray, (ok0, ok1, t0, t1, i0, i1))
     assert ok0.sum() > 20  # sanity: the scene is actually hit
     np.testing.assert_array_equal(ok0, ok1)
@@ -57,6 +64,6 @@ def test_pallas_any_hit_and_t_cap():
     # finite caps cut off some hits; both paths must agree
     t_max = jnp.full((BN,), 8.0, jnp.float32)
     _, _, ok0 = mt_intersect(feat, o, d, t_max, any_hit=True)
-    _, _, ok1 = mt_intersect_pallas(qdata, o, d, t_max, any_hit=True,
-                                    interpret=True)
+    _, _, ok1 = mt_intersect_pallas(qdata, _v3(o), _v3(d), t_max,
+                                    any_hit=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))

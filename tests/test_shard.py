@@ -1,5 +1,13 @@
 """Multi-device sharding tests on the 8-virtual-CPU-device mesh
-(the distributed "fake backend" — SURVEY.md §4 implication (d))."""
+(the distributed "fake backend" — SURVEY.md §4 implication (d)).
+
+Invariance contract: the counter-based RNG keys off the GLOBAL lane id and
+the film splat order is identical, so the sharded image is *sampling-exact*
+across device counts — the same random sequences, the same summation order.
+XLA may still contract a*b+c into FMA differently when it compiles the body
+for different per-shard batch shapes, which perturbs individual lanes by
+1 ulp; the tests therefore allow <= 2 ulp (rtol 5e-7), not bitwise zero.
+"""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,8 +39,9 @@ def test_sharded_matches_single_device():
     ref = np.asarray(render(scene, cam, 16, 16, 8, cfg))
     img8 = np.asarray(render_sharded(scene, cam, 16, 16, 8, cfg,
                                      n_devices=8))
-    # lane-keyed RNG + box filter -> bitwise equality across device counts
-    np.testing.assert_array_equal(img8, ref)
+    # lane-keyed RNG + box filter -> sampling-exact across device counts
+    # (<= 2 ulp: shape-dependent XLA FMA contraction, see module docstring)
+    np.testing.assert_allclose(img8, ref, rtol=5e-7, atol=1e-7)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
@@ -41,7 +50,7 @@ def test_device_count_invariance():
     cfg = PathConfig(max_depth=3, rr_threshold=0.0, nee=True)
     img2 = np.asarray(render_sharded(scene, cam, 16, 16, 4, cfg, n_devices=2))
     img4 = np.asarray(render_sharded(scene, cam, 16, 16, 4, cfg, n_devices=4))
-    np.testing.assert_array_equal(img2, img4)
+    np.testing.assert_allclose(img2, img4, rtol=5e-7, atol=1e-7)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -51,4 +60,4 @@ def test_sharded_non_divisible_resolution():
     cfg = PathConfig(max_depth=2, rr_threshold=0.0, nee=True)
     ref = np.asarray(render(scene, cam, 10, 10, 4, cfg))
     img = np.asarray(render_sharded(scene, cam, 10, 10, 4, cfg, n_devices=8))
-    np.testing.assert_array_equal(img, ref)
+    np.testing.assert_allclose(img, ref, rtol=5e-7, atol=1e-7)

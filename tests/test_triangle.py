@@ -10,10 +10,16 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from fountain_tpu.core.vecmath import V3
 from fountain_tpu.geometry.triangle import (intersect_triangles,
                                             intersect_triangles_any,
                                             triangle_hit_info,
                                             woop_intersect)
+
+
+def _v3(a):
+    a = jnp.asarray(a)
+    return V3(a[..., 0], a[..., 1], a[..., 2])
 from fountain_tpu.io.ply import load_ply
 from fountain_tpu.scene.build import SceneBuilder
 
@@ -38,11 +44,11 @@ class TestWoop:
         t, idx, ok = intersect_triangles(tris, o, d, jnp.asarray([jnp.inf]))
         assert bool(ok[0])
         np.testing.assert_allclose(float(t[0]), 1.0, rtol=1e-6)
-        hit = triangle_hit_info(tris, idx, o, d, t, ok)
-        np.testing.assert_allclose(np.asarray(hit.p[0]),
+        hit = triangle_hit_info(tris, idx, _v3(o), _v3(d), t, ok)
+        np.testing.assert_allclose(np.asarray(hit.p.stack()[0]),
                                    [0.25, 0.25, 0.0], atol=1e-6)
         # geometric normal perpendicular to the triangle
-        assert abs(abs(float(hit.n[0, 2])) - 1.0) < 1e-5
+        assert abs(abs(float(hit.n.z[0])) - 1.0) < 1e-5
 
     def test_miss_outside(self):
         tris = _unit_tri_table()
@@ -152,8 +158,12 @@ def test_packed_attr_hit_info_matches_unpacked():
     t, idx, ok = intersect_triangles(tris, o, d,
                                      jnp.full((n,), jnp.inf, jnp.float32))
     assert int(ok.sum()) > 50
-    h0 = triangle_hit_info(tris, idx, o, d, t, ok)
-    h1 = triangle_hit_info(tris, idx, o, d, t, ok, attr=scene.tri_attr)
-    for name, a, b_ in zip(h0._fields, h0, h1):
+    h0 = triangle_hit_info(tris, idx, _v3(o), _v3(d), t, ok)
+    h1 = triangle_hit_info(tris, idx, _v3(o), _v3(d), t, ok,
+                           attr=scene.tri_attr)
+    import jax
+    paths0, _ = jax.tree.flatten_with_path(h0)
+    paths1, _ = jax.tree.flatten_with_path(h1)
+    for (k0, a), (k1, b_) in zip(paths0, paths1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   rtol=1e-6, atol=1e-6, err_msg=name)
+                                   rtol=1e-6, atol=1e-6, err_msg=str(k0))

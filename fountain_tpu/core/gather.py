@@ -58,18 +58,20 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def gather_rows3(table: jnp.ndarray, idx: jnp.ndarray):
     """Gather a [T, 3] table into a component-SoA V3 of flat [N] arrays.
 
-    Three per-column gathers instead of one [N, 3] row gather: the [N, 3]
-    result would be padded 42.7x by TPU (8,128) tiling when materialized
-    (see core.vecmath.V3); per-component [N] outputs tile perfectly. Each
-    column keeps the dense one-hot backward for small tables.
+    ONE [N, 3] row gather, then a column split. A TPU gather costs ~3 ms
+    per 262k random indices *per gather op* regardless of slice width (it
+    is latency-bound on the index stream), so one slice-3 gather beats
+    three slice-1 gathers 3:1; the [N, 3] intermediate's 42.7x tile
+    padding is only ~0.3 ms of HBM traffic in comparison.
     """
     from fountain_tpu.core.vecmath import V3
-    g = _make_gather(table.shape[0])
-    return V3(g(table[:, 0], idx), g(table[:, 1], idx), g(table[:, 2], idx))
+    r = _make_gather(table.shape[0])(table, idx)
+    return V3(r[..., 0], r[..., 1], r[..., 2])
 
 
 def take3(table: jnp.ndarray, idx: jnp.ndarray):
     """Non-custom-vjp variant of gather_rows3 for large tables (atlas
-    texels): per-component gathers with the default scatter-add backward."""
+    texels): a row gather with the default scatter-add backward."""
     from fountain_tpu.core.vecmath import V3
-    return V3(table[idx, 0], table[idx, 1], table[idx, 2])
+    r = table[idx]
+    return V3(r[..., 0], r[..., 1], r[..., 2])

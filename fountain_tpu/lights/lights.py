@@ -75,6 +75,76 @@ def _eval_env_tex(scene: Scene, tex_id, u, v) -> V3:
                         tex_lookup=_scene_tex_lookup(scene))
 
 
+def _light_table(scene: Scene) -> jnp.ndarray:
+    """[L, 16] packed per-light row (one row gather per sample/pdf query
+    instead of ~12 scalar gathers; see bsdf._shading_table for the TPU
+    gather cost model). Built in-jit so emit stays differentiable.
+
+    Layout: 0 ltype | 1:4 emit | 4:7 pos | 7:10 dir | 10 shape_id |
+    11 tri_start | 12 tri_count | 13 env_tex | 14 area | 15 pad
+    (int fields bitcast f32, detached)."""
+    import jax
+    lt = scene.lights
+    sg = jax.lax.stop_gradient
+    bi = lambda a: jax.lax.bitcast_convert_type(
+        sg(a).astype(jnp.int32), jnp.float32)
+    zeros = jnp.zeros((lt.count,), Float)
+    cols = [bi(lt.ltype),
+            lt.emit[:, 0], lt.emit[:, 1], lt.emit[:, 2],
+            sg(lt.pos[:, 0]), sg(lt.pos[:, 1]), sg(lt.pos[:, 2]),
+            sg(lt.dir[:, 0]), sg(lt.dir[:, 1]), sg(lt.dir[:, 2]),
+            bi(lt.shape_id), bi(lt.tri_start), bi(lt.tri_count),
+            bi(lt.env_tex), sg(lt.area), zeros]
+    return jnp.stack(cols, axis=1)
+
+
+class _LightRows:
+    """Decoded view over gathered [N, 16] light rows."""
+
+    def __init__(self, scene: Scene, li):
+        from fountain_tpu.core.gather import gather_rows
+        self._r = gather_rows(_light_table(scene), li)
+        import jax
+        self._ib = lambda k: jax.lax.bitcast_convert_type(
+            jax.lax.stop_gradient(self._r[:, k]), jnp.int32)
+
+    @property
+    def ltype(self):
+        return self._ib(0)
+
+    @property
+    def emit(self) -> V3:
+        return V3(self._r[:, 1], self._r[:, 2], self._r[:, 3])
+
+    @property
+    def pos(self) -> V3:
+        return V3(self._r[:, 4], self._r[:, 5], self._r[:, 6])
+
+    @property
+    def dir(self) -> V3:
+        return V3(self._r[:, 7], self._r[:, 8], self._r[:, 9])
+
+    @property
+    def shape_id(self):
+        return self._ib(10)
+
+    @property
+    def tri_start(self):
+        return self._ib(11)
+
+    @property
+    def tri_count(self):
+        return self._ib(12)
+
+    @property
+    def env_tex(self):
+        return self._ib(13)
+
+    @property
+    def area(self):
+        return self._r[:, 14]
+
+
 class LightSample(NamedTuple):
     """Reference LiSample (light/mod.rs:51-60) in component SoA."""
     radiance: V3
@@ -92,7 +162,7 @@ def emitted_radiance(scene: Scene, hit: Hit) -> V3:
     (reference SurfaceInteraction::emitted_radiance interaction.rs:175-180 →
     DiffuseAreaLight::emitted_radiance diffuse.rs:44-50, one-sided)."""
     lid = jnp.clip(hit.light_id, 0, max(scene.lights.count - 1, 0))
-    emit = gather_rows3(scene.lights.emit, lid)
+    emit = _LightRows(scene, lid).emit
     visible = dot(hit.n, hit.wo) > 0.0
     on = (hit.light_id >= 0) & hit.valid & visible
     return where3(on, emit, 0.0)
@@ -168,8 +238,9 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
     lt = scene.lights
     n = ref_p.shape
     li = jnp.clip(light_idx, 0, max(lt.count - 1, 0))
-    ltype = lt.ltype[li]
-    emit = gather_rows3(lt.emit, li)
+    lr = _LightRows(scene, li)
+    ltype = lr.ltype
+    emit = lr.emit
 
     wi = zeros3(n)
     pdf = jnp.zeros(n, Float)
@@ -182,7 +253,7 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
 
     # --- point light (point.rs:40-60): I / r^2, pdf = 1
     sel = ltype == LIGHT_POINT
-    pos = gather_rows3(lt.pos, li)
+    pos = lr.pos
     d_vec = pos - ref_p
     r2 = jnp.maximum(dot(d_vec, d_vec), 1e-12)
     wi = where3(sel, normalize(d_vec), wi)
@@ -193,7 +264,7 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
     # --- distant light (distant.rs:30-60): direction `dir` points FROM the
     # light; wi = -dir; endpoint outside scene bounds
     sel = ltype == LIGHT_DISTANT
-    wi_d = normalize(-gather_rows3(lt.dir, li))
+    wi_d = normalize(-lr.dir)
     p_out = ref_p + wi_d * (2.0 * scene.world_radius)
     wi = where3(sel, wi_d, wi)
     radiance = where3(sel, emit, radiance)
@@ -214,16 +285,16 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
         pdf_e = jnp.where(sin_t > 0.0,
                           pdf_uv / (2.0 * PI * PI * jnp.maximum(sin_t, 1e-9)),
                           0.0)
-        rad_e = emit * _eval_env_tex(scene, lt.env_tex[li], ue, ve)
-        has_env = lt.env_tex[li] >= 0
+        rad_e = emit * _eval_env_tex(scene, lr.env_tex, ue, ve)
+        has_env = lr.env_tex >= 0
         wi_u = where3(has_env, wi_e, wi_u)
         pdf_u = jnp.where(has_env, pdf_e, pdf_u)
         rad_u = where3(has_env, rad_e, rad_u)
     elif scene.env_images is not None:
         # image-mapped env without a distribution: uniform dirs, textured L
         u_env, v_env = dir_to_env_uv(wi_u)
-        rad_e = emit * _eval_env_tex(scene, lt.env_tex[li], u_env, v_env)
-        has_env = lt.env_tex[li] >= 0
+        rad_e = emit * _eval_env_tex(scene, lr.env_tex, u_env, v_env)
+        has_env = lr.env_tex >= 0
         rad_u = where3(has_env, rad_e, rad_u)
     p_inf = ref_p + wi_u * (2.0 * scene.world_radius)
     wi = where3(sel, wi_u, wi)
@@ -236,7 +307,7 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
     # intersection* along wi (shapes/mod.rs:87-97 pdf_from_ref)
     sel = ltype == LIGHT_AREA_SPHERE
     if scene.spheres.count > 0:
-        sphere_idx = jnp.clip(lt.shape_id[li], 0, scene.spheres.count - 1)
+        sphere_idx = jnp.clip(lr.shape_id, 0, scene.spheres.count - 1)
         p_unit = uniform_sample_sphere(u1, u2)
         p_s, p_s_err, n_s = _sphere_surface_at(scene, sphere_idx, p_unit)
         wi_s = normalize(p_s - ref_p)
@@ -258,8 +329,8 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
     sel = ltype == LIGHT_AREA_TRI
     if scene.triangles.count > 0 and scene.tri_area_cdf is not None:
         tris = scene.triangles
-        start = lt.tri_start[li]
-        count = jnp.maximum(lt.tri_count[li], 1)
+        start = lr.tri_start
+        count = jnp.maximum(lr.tri_count, 1)
         face = _search_cdf_range(scene.tri_area_cdf, u1, start, count)
         i0, i1, i2 = (tris.indices[face, 0], tris.indices[face, 1],
                       tris.indices[face, 2])
@@ -284,7 +355,7 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
         d2 = jnp.maximum(dot(d_t, d_t), 1e-20)
         wi_t = d_t * (1.0 / jnp.sqrt(d2))
         cos_l = dot(n_t, -wi_t)
-        area = jnp.maximum(lt.area[li], 1e-20)
+        area = jnp.maximum(lr.area, 1e-20)
         pdf_t = jnp.where(jnp.abs(cos_l) > 1e-8,
                           d2 / (jnp.abs(cos_l) * area), 0.0)
         rad_t = where3(cos_l > 0.0, emit, 0.0)
@@ -330,7 +401,8 @@ def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
     lt = scene.lights
     n = ref_p.shape
     li = jnp.clip(light_idx, 0, max(lt.count - 1, 0))
-    ltype = lt.ltype[li]
+    lr = _LightRows(scene, li)
+    ltype = lr.ltype
     pdf = jnp.zeros(n, Float)
 
     sel = ltype == LIGHT_INFINITE
@@ -343,7 +415,7 @@ def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
         pdf_env = jnp.where(sin_t > 0.0,
                             pdf_uv / (2.0 * PI * PI
                                       * jnp.maximum(sin_t, 1e-9)), 0.0)
-        has_env = lt.env_tex[li] >= 0
+        has_env = lr.env_tex >= 0
         pdf_inf = jnp.where(has_env, pdf_env, pdf_inf)
     pdf = jnp.where(sel, pdf_inf, pdf)
 
@@ -355,14 +427,14 @@ def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
         d2 = dot(dh, dh)
         same = hit.valid & (hit.light_id == li)
         cos_l = jnp.abs(dot(hit.n, -normalize(wi)))
-        area = jnp.maximum(lt.area[li], 1e-20)
+        area = jnp.maximum(lr.area, 1e-20)
         pdf_t = jnp.where(same & (cos_l > 1e-8),
                           d2 / (cos_l * area), 0.0)
         pdf = jnp.where(sel_t, pdf_t, pdf)
 
     if scene.spheres.count > 0:
         sel = ltype == LIGHT_AREA_SPHERE
-        sphere_idx = jnp.clip(lt.shape_id[li], 0, scene.spheres.count - 1)
+        sphere_idx = jnp.clip(lr.shape_id, 0, scene.spheres.count - 1)
         # intersect ONLY that sphere: gather a single-sphere table per lane
         # (array-layout internals; cold on mesh scenes)
         sph = scene.spheres

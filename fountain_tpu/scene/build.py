@@ -309,7 +309,10 @@ class SceneBuilder:
             uv_offset=jnp.asarray([r["uv_offset"] for r in self._tex],
                                   jnp.float32),
             image_id=jnp.asarray([r["image_id"] for r in self._tex],
-                                 jnp.int32))
+                                 jnp.int32),
+            has_nested=jnp.zeros(
+                (1 if any(r["ttype"] in (TEX_CHECKER, TEX_SCALE)
+                          for r in self._tex) else 0,), jnp.int32))
 
         # world-space per-face areas + within-light CDFs (reference
         # Distribution1D over shape areas; here contiguous face ranges)

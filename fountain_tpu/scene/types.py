@@ -140,10 +140,19 @@ class Textures(NamedTuple):
     uv_scale: jnp.ndarray  # [T, 2] UVMapping scale (reference mapping.rs:13-55)
     uv_offset: jnp.ndarray  # [T, 2]
     image_id: jnp.ndarray  # [T] int32 index into the image atlas (-1 = none)
+    # static marker (shape [1] iff any checker/scale texture exists, else
+    # [0]): shapes are trace-time constants, so `has_nested.shape[0]` lets
+    # the shading fast path skip the nested-texture fallback entirely for
+    # scenes without texture graphs — no recompile-triggering python attrs
+    has_nested: jnp.ndarray = None
 
     @property
     def count(self) -> int:
         return self.ttype.shape[0]
+
+    @property
+    def any_nested(self) -> bool:
+        return self.has_nested is None or self.has_nested.shape[0] > 0
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,58 @@ class ShadeParams(NamedTuple):
     rough_raw: jnp.ndarray  # [N] pre-remap roughness (0 => smooth glass)
 
 
+_SLOT0 = 12        # first texture-slot column
+_SLOT_W = 12       # columns per texture slot
+_N_SLOTS = 7       # kd ks kr kt sigma rough_u rough_v
+_TABLE_W = _SLOT0 + _N_SLOTS * _SLOT_W   # 96
+
+
+def _shading_table(scene: Scene) -> jnp.ndarray:
+    """[M, 96] packed per-material shading row: material constants plus the
+    depth-1 descriptor of each of its 7 texture slots inlined.
+
+    WHY: a TPU gather costs ~3 ms per 262k random indices PER GATHER OP
+    (latency-bound on the index stream, nearly independent of slice
+    width), so the old formulation — 16 material-field gathers + 7
+    eval_texture calls of ~30 gathers each — was ~200 gather ops per
+    bounce. One 96-wide row gather replaces all of them for scenes of
+    constant/uv/image textures; checker/scale graphs take a fallback
+    (gated STATICALLY by Textures.has_nested's shape).
+
+    Built in-jit from the live tables ([M]-indexed fetches are a few rows,
+    negligible) so gradients flow from the packed rows back to
+    ``textures.value`` through the one-hot-backward gather.
+
+    Layout: 0 mtype | 1 eta | 2:5 eta3 | 5:8 k3 | 8 remap | 9:12 pad,
+    then per slot s at 12+12s: 0 ttype | 1:4 value | 4:6 uv_scale |
+    6:8 uv_offset | 8 image_id | 9 tid | 10:12 pad (int fields bitcast
+    f32 and detached).
+    """
+    import jax
+    m, tex = scene.materials, scene.textures
+    sg = jax.lax.stop_gradient
+    bi = lambda a: jax.lax.bitcast_convert_type(
+        sg(a).astype(jnp.int32), jnp.float32)
+    zeros = jnp.zeros((m.count,), jnp.float32)
+
+    def slot(tid_arr):
+        t = jnp.clip(tid_arr, 0, max(tex.count - 1, 0))
+        return [bi(tex.ttype[t]),
+                tex.value[t, 0], tex.value[t, 1], tex.value[t, 2],
+                sg(tex.uv_scale[t, 0]), sg(tex.uv_scale[t, 1]),
+                sg(tex.uv_offset[t, 0]), sg(tex.uv_offset[t, 1]),
+                bi(tex.image_id[t]), bi(t), zeros, zeros]
+
+    cols = [bi(m.mtype), m.eta,
+            m.eta3[:, 0], m.eta3[:, 1], m.eta3[:, 2],
+            m.k3[:, 0], m.k3[:, 1], m.k3[:, 2],
+            m.remap_roughness.astype(jnp.float32), zeros, zeros, zeros]
+    for tid_arr in (m.kd_tex, m.ks_tex, m.kr_tex, m.kt_tex, m.sigma_tex,
+                    m.rough_u_tex, m.rough_v_tex):
+        cols += slot(tid_arr)
+    return jnp.stack(cols, axis=1)
+
+
 def gather_shading(scene: Scene, hit: Hit, tex_lookup=None,
                    tex_width=None) -> ShadeParams:
     """Evaluate the material table + textures at the hit points.
@@ -64,33 +116,70 @@ def gather_shading(scene: Scene, hit: Hit, tex_lookup=None,
     Analog of Material::compute_scattering_functions dispatch
     (interaction.rs:111-121 → material/*.rs). ``tex_width`` [N] is the
     uv-space ray-cone footprint for mipmap filtering.
+
+    ONE [N, 96] row gather of the packed shading table (see
+    _shading_table) resolves all material constants and all simple
+    (constant/uv/image) texture slots; only nested checker/scale graphs
+    fall back to the generic eval_texture walk, and only in scenes that
+    contain one (static has_nested gate).
     """
+    import jax
+    from fountain_tpu.core.gather import gather_rows
+    from fountain_tpu.core.vecmath import zeros3
+    from fountain_tpu.scene.types import (TEX_CHECKER, TEX_IMAGE, TEX_SCALE,
+                                          TEX_UV)
+
     m = scene.materials
-    mid = jnp.clip(hit.mat_id, 0, max(m.count - 1, 0))
     tex = scene.textures
+    mid = jnp.clip(hit.mat_id, 0, max(m.count - 1, 0))
     if tex_lookup is None and scene.env_images is not None:
         from fountain_tpu.shading.mipmap import lookup_trilinear
         atlas = scene.env_images
         tex_lookup = lambda iid, u, v, w=None: lookup_trilinear(
             atlas, iid, u, v, w)
-    ev = lambda tid: eval_texture(tex, tid, hit.u, hit.v,
-                                  tex_lookup=tex_lookup, width=tex_width)
 
-    kd = ev(m.kd_tex[mid])
-    ks = ev(m.ks_tex[mid])
-    kr = ev(m.kr_tex[mid])
-    kt = ev(m.kt_tex[mid])
-    sigma = ev(m.sigma_tex[mid]).x
-    rough_u = ev(m.rough_u_tex[mid]).x
-    rough_v = ev(m.rough_v_tex[mid]).x
-    remap = m.remap_roughness[mid]
+    rows = gather_rows(_shading_table(scene), mid)      # [N, 96]
+    col = lambda k: rows[:, k]
+    ib = lambda k: jax.lax.bitcast_convert_type(
+        jax.lax.stop_gradient(col(k)), jnp.int32)
+
+    def eval_slot(s):
+        off = _SLOT0 + _SLOT_W * s
+        ttype = ib(off + 0)
+        su, sv = col(off + 4), col(off + 5)
+        du, dv = col(off + 6), col(off + 7)
+        u = hit.u * su + du
+        v = hit.v * sv + dv
+        out = V3(col(off + 1), col(off + 2), col(off + 3))  # constant
+        uv_rgb = V3(u - jnp.floor(u), v - jnp.floor(v), jnp.zeros_like(u))
+        out = where3(ttype == TEX_UV, uv_rgb, out)
+        if tex_lookup is not None:
+            w = None if tex_width is None \
+                else tex_width * jnp.maximum(su, sv)
+            img = tex_lookup(ib(off + 8), u, v, w)
+            out = where3(ttype == TEX_IMAGE, img, out)
+        if tex.any_nested:
+            nested = (ttype == TEX_CHECKER) | (ttype == TEX_SCALE)
+            full = eval_texture(tex, ib(off + 9), hit.u, hit.v,
+                                tex_lookup=tex_lookup, width=tex_width)
+            out = where3(nested, full, out)
+        return out
+
+    kd = eval_slot(0)
+    ks = eval_slot(1)
+    kr = eval_slot(2)
+    kt = eval_slot(3)
+    sigma = eval_slot(4).x
+    rough_u = eval_slot(5).x
+    rough_v = eval_slot(6).x
+    remap = col(8) > 0.5
     alpha_u = jnp.where(remap, mf.roughness_to_alpha(rough_u), rough_u)
     alpha_v = jnp.where(remap, mf.roughness_to_alpha(rough_v), rough_v)
     return ShadeParams(
-        mtype=jnp.where(hit.mat_id >= 0, m.mtype[mid], -1).astype(jnp.int32),
+        mtype=jnp.where(hit.mat_id >= 0, ib(0), -1).astype(jnp.int32),
         kd=kd, ks=ks, kr=kr, kt=kt, sigma=sigma,
-        eta=m.eta[mid], eta3=gather_rows3(m.eta3, mid),
-        k3=gather_rows3(m.k3, mid),
+        eta=col(1), eta3=V3(col(2), col(3), col(4)),
+        k3=V3(col(5), col(6), col(7)),
         alpha_u=alpha_u, alpha_v=alpha_v,
         rough_raw=jnp.maximum(rough_u, rough_v))
 

@@ -24,9 +24,7 @@ def run(platform, res=128):
     px = (lane % res).astype(jnp.float32)
     py = (lane // res).astype(jnp.float32)
     u = rng.uniform4(lane, 0, DIM_CAMERA, 0)
-    p_film = jnp.stack([px + u[0], py + u[1]], axis=-1)
-    p_lens = jnp.stack([u[2], u[3]], axis=-1)
-    rays = generate_rays(cam, p_film, p_lens)
+    rays = generate_rays(cam, px + u[0], py + u[1], u[2], u[3])
     sample = jnp.zeros((n,), jnp.int32)
 
     @jax.jit
@@ -34,7 +32,8 @@ def run(platform, res=128):
         return trace_paths(scene, rays.o, rays.d, lane, sample, cfg,
                            seed=0, count_rays=True)
 
-    rad, n_rays = jax.block_until_ready(fwd(scene))
+    rad_v3, n_rays = jax.block_until_ready(fwd(scene))
+    rad = rad_v3.stack()
 
     # raw first-bounce intersect comparison
     from fountain_tpu.geometry.intersect import scene_intersect

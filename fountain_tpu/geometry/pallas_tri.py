@@ -6,38 +6,42 @@ matmul, the acceptance epilogue, and the running per-ray (t, index) min
 inside VMEM — the pair matrix never leaves the chip (the same fusion
 structure as flash attention).
 
-Grid layout: ``(face superblocks, ray tiles)`` with the superblock axis
-OUTER, so the bf16 feature table streams HBM→VMEM once per superblock
-(not once per ray tile) and scenes far beyond the VMEM budget traverse at
-full speed — the two-level analog of the reference's BVH early-out
-(bvh.rs:176). Each grid step writes its own per-superblock partial
-(t, idx) block — no state crosses grid steps (cross-step carries via
-input/output aliasing proved racy on this backend) — and a cheap XLA min
-over the superblock axis finishes the reduction.
+Round-3 redesign, driven by measurement on TPU v5e (see BASELINE.md):
+
+- The sweep is *pair-bound*, not precision-bound: the VPU acceptance
+  epilogue over all N×F candidate pairs costs the same at K=16 as at
+  K=96, so the win is culling pairs, not shrinking the contraction.
+- Faces arrive in LBVH leaf order (geometry.bvh.attach_bvh), so
+  contiguous 128-face blocks are spatially tight. Each ray tile runs ONE
+  vectorized [BN, n_blocks] slab pre-cull (every ray against every block
+  AABB — ~25 VPU ops per pair, ~2 us/tile) and packs the per-block
+  verdicts into per-superblock bitmask words; the traversal loop then
+  costs one scalar bit test per block instead of a vector slab + scalar
+  sync each. The previous per-block [BN, 1] slab chain was 13 ms/sweep of
+  pure walk overhead ([BN, 1] shapes pad 128x on the TPU lane axis — the
+  measured cost of "scalarish" wavefront code).
+- The 4 Möller-Trumbore quantities are ONE MXU dot per block:
+  [BN, 96] @ [96, 4*BC] against a quantity-interleaved table, then
+  static column slices — 4x fewer MXU issues.
+- This is the wavefront analog of the reference's node-stack early-out
+  (bvh.rs:176): block AABBs are the "nodes", the bitmask is the stack.
 
 Precision: every Möller–Trumbore quantity is a K=10 dot, so the MXU's
 K=128 systolic depth is mostly idle. The three-way bf16 split (hi+mid+lo
 recovers all 24 f32 mantissa bits) is folded INTO the K axis: the 6
 significant cross terms hh,hm,mh,hl,mm,lh become one K=96 bf16 dot —
-full f32 fidelity in ONE MXU pass instead of HIGHEST's six. Measured on
-the 100k-interior-ray watertight gate: 0 leaks, t relative error ~1e-7
-(same as HIGHEST), ~2x faster sweeps.
+full f32 fidelity in ONE MXU pass. Measured on the 100k-interior-ray
+watertight gate: 0 leaks, t relative error ~1e-7 (same as HIGHEST).
 
-Layout (round 3): rays enter as component-SoA V3 (flat [N] arrays, zero
-tile padding — see core.vecmath.V3); the bf16x6 ray features are built
-INSIDE the kernel from the 8-column aux block (no [N, 96] HBM array),
-and the per-superblock (t, idx) partials are written as [S, tiles, BN]
-(BN on the 128-lane axis) instead of [S, N, 1] (whose trailing 1 padded
-the output 128x in HBM).
+Shadow (any-hit) rays use a dedicated kernel: no (t, idx) reduction, a
+per-superblock early-out once every live ray is occluded, and the same
+bf16x6 table (occlusion shares the closest-hit acceptance epsilons, so
+the two paths can never disagree about what blocks light).
 
 Occupancy: a scalar-prefetched ``n_active`` ray count lets whole ray
 tiles skip all traversal work; callers sort the wavefront with dead lanes
 last (sort_keys with the active mask) so terminated lanes cluster into
 skippable tiles.
-
-HBM traffic per sweep: rays once per superblock + feature table once per
-superblock + (t, idx) once per superblock — pair matrices never leave
-VMEM.
 
 Derivation and epsilon policy: see tensor_tri.py (identical math; the
 watertight REL_EPS edge expansion is shared via the packed features).
@@ -53,12 +57,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fountain_tpu.core.vecmath import V3, cross
+from fountain_tpu.core.vecmath import V3
 from fountain_tpu.geometry.tensor_tri import REL_EPS
 
-BN = 512     # rays per grid tile
-BC = 512     # faces per inner block (one MXU sweep)
-SB = 4096    # faces per streamed superblock (bf16 table block ~3 MiB)
+BN = 1024    # rays per grid tile
+BC = 128     # faces per leaf block (one MXU sweep [BN,96]@[96,512])
+SB = 1024    # faces per superblock (8 blocks = one bitmask word)
+CHUNK = 8192  # max faces resident per outer grid step (bf16 table ~6.3 MiB)
 _K = 16      # padded ray-feature depth (10 used)
 _K6 = 6 * _K  # six bf16x6 cross terms folded into the contraction axis
 
@@ -81,13 +86,16 @@ def _split3(x: np.ndarray):
 
 
 def pack_features_pallas(tri_verts: np.ndarray):
-    """Feature tables for the fused sweep.
+    """Feature + AABB tables for the fused sweep.
 
-    Returns (feat [S, 4, 96, SB] bf16, block AABBs [S, nb, 8] f32,
-    superblock AABBs [S, 1, 8] f32) where S = ceil(F / SB) superblocks and
-    nb = SB // BC inner blocks. Quantity rows (det, u_num, v_num, t_num)
-    follow tensor_tri.build_tri_features; the 96 K-rows are the bf16x6
-    cross-term layout (see _RF_SPLITS/_TBL_SPLITS).
+    Returns (feat [S, 96, 4*CH] bf16, aabbT [S, 8, nblk] f32) where
+    CH ≤ CHUNK faces are resident per outer grid step, S = ceil(F/CH) and
+    nblk = CH/BC. feat block c holds the quantity-interleaved columns
+    [det | u_num | v_num | t_num] × BC at offset 4*BC*c, so one MXU dot
+    yields all four Möller-Trumbore quantities. aabbT rows are
+    (xmin, ymin, zmin, xmax, ymax, zmax, 0, 0) — transposed for the
+    vectorized [BN, nblk] pre-cull. Empty padding blocks get inverted
+    AABBs (min > max) so the cull always rejects them.
     """
     tv = np.asarray(tri_verts, np.float64)
     v0 = tv[:, 0]
@@ -98,8 +106,10 @@ def pack_features_pallas(tri_verts: np.ndarray):
     w2 = np.cross(v0, e2)
     k = (v0 * n).sum(-1)
     f = len(tv)
-    s_blocks = -(-max(f, 1) // SB)
-    fpad = s_blocks * SB
+    f_sb = -(-max(f, 1) // SB) * SB          # pad to superblock multiple
+    ch = min(f_sb, CHUNK)
+    s_blocks = -(-f_sb // ch)
+    fpad = s_blocks * ch
     q = np.zeros((4, _K, fpad), np.float64)
     q[0, 0:3, :f] = -n.T                  # det   = -d.n
     q[1, 0:3, :f] = w2.T                  # u_num =  d.w2 + (oxd).e2
@@ -110,24 +120,25 @@ def pack_features_pallas(tri_verts: np.ndarray):
     q[3, 9, :f] = -k
     splits = _split3(q)                   # each [4, 16, Fpad] bf16
     tbl = np.concatenate([splits[i] for i in _TBL_SPLITS], axis=1)
-    # [4, 96, Fpad] -> [S, 4, 96, SB]
+    # [4, 96, Fpad] -> quantity-interleave per block -> [S, 96, 4*CH]
+    nblk_total = fpad // BC
+    tbl = tbl.reshape(4, _K6, nblk_total, BC)
+    tbl = tbl.transpose(1, 2, 0, 3)       # [96, nblk, 4, BC]
     feat = np.ascontiguousarray(
-        tbl.reshape(4, _K6, s_blocks, SB).transpose(2, 0, 1, 3))
+        tbl.reshape(_K6, s_blocks, 4 * ch).transpose(1, 0, 2))
 
     tvf = np.asarray(tri_verts, np.float32)
-    nb = SB // BC
-    aabb = np.zeros((s_blocks, nb, 8), np.float32)
+    nblk = ch // BC
+    aabb = np.zeros((s_blocks, nblk, 8), np.float32)
     aabb[..., 0:3] = 1.0
     aabb[..., 3:6] = -1.0                 # empty: min > max, never hit
     for b in range(-(-max(f, 1) // BC)):
         blk = tvf[b * BC:(b + 1) * BC].reshape(-1, 3)
         if len(blk):
-            aabb[b // nb, b % nb, 0:3] = blk.min(0)
-            aabb[b // nb, b % nb, 3:6] = blk.max(0)
-    sb_aabb = np.zeros((s_blocks, 1, 8), np.float32)
-    sb_aabb[..., 0, 0:3] = aabb[..., 0:3].min(1)
-    sb_aabb[..., 0, 3:6] = aabb[..., 3:6].max(1)
-    return jnp.asarray(feat), jnp.asarray(aabb), jnp.asarray(sb_aabb)
+            aabb[b // nblk, b % nblk, 0:3] = blk.min(0)
+            aabb[b // nblk, b % nblk, 3:6] = blk.max(0)
+    aabbT = np.ascontiguousarray(aabb.transpose(0, 2, 1))  # [S, 8, nblk]
+    return jnp.asarray(feat), jnp.asarray(aabbT)
 
 
 def pack_block_bounds(tri_verts: np.ndarray) -> jnp.ndarray:
@@ -144,156 +155,248 @@ def _split3_cols(x):
     return hi, mid, lo
 
 
-def _kernel(nact_ref, aux_ref, feat_ref, aabb_ref, sb_ref,
-            t_ref, idx_ref, *, nb: int, t_eps: float):
+def _ray_setup(aux):
+    """Unpack the [BN, 8] aux rows into (o, d, inv_d columns, rf): the
+    bf16x6 ray feature block rf [BN, 96] (R = [d, o×d, o, 1, 0...]) is
+    built in VMEM — no [N, 96] HBM array, ~BN*16 VPU flops per tile."""
+    ox, oy, oz = aux[:, 0:1], aux[:, 1:2], aux[:, 2:3]
+    dx, dy, dz = aux[:, 3:4], aux[:, 4:5], aux[:, 5:6]
+    cxd = jnp.concatenate(
+        [oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx], axis=1)
+    ones = jnp.ones((aux.shape[0], 1), jnp.float32)
+    zeros = jnp.zeros((aux.shape[0], _K - 10), jnp.float32)
+    rf32 = jnp.concatenate([aux[:, 3:6], cxd, aux[:, 0:3], ones, zeros],
+                           axis=1)                             # [BN, 16]
+    sp = _split3_cols(rf32)
+    rf = jnp.concatenate([sp[k] for k in _RF_SPLITS], axis=1)  # [BN, 96]
+    return rf
+
+
+def _precull(aux, aabbT_ref, t_cap):
+    """Vectorized slab test of every ray in the tile against every block
+    AABB: one [BN, nblk] computation instead of nblk scalar-synced [BN,1]
+    chains. Returns per-superblock bitmask words [nsb] int32 (bit c set =
+    some ray can hit block 8*b+c within (0, t_cap)), conservative 1e-4
+    relative expansion on t_far."""
+    nblk = aabbT_ref.shape[-1]
+    nsb = nblk // 8
+    can = None
+    t_near = None
+    t_far = None
+    for a in range(3):
+        bmin = aabbT_ref[0, a, :][None, :]          # [1, nblk]
+        bmax = aabbT_ref[0, 3 + a, :][None, :]
+        o_c = aux[:, a:a + 1]                       # [BN, 1]
+        d_c = aux[:, 3 + a:4 + a]
+        inv = 1.0 / jnp.where(d_c == 0.0, 1e-20, d_c)
+        t0 = (bmin - o_c) * inv                     # [BN, nblk]
+        t1 = (bmax - o_c) * inv
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1)
+        t_near = lo if t_near is None else jnp.maximum(t_near, lo)
+        t_far = hi if t_far is None else jnp.minimum(t_far, hi)
+    t_far = t_far * 1.0001
+    can = (t_near <= t_far) & (t_far > 0.0) & (t_near < t_cap[:, 0:1])
+    # per-block candidate-ray count [nblk] int32 plus the earliest entry
+    # distance of any candidate ray [nblk] f32; scalar tests in the walk
+    # read both with STATIC extracts (Mosaic supports neither dynamic
+    # vector extract nor 1-D reshape). The entry distance drives the
+    # approximate front-to-back gate: once every ray's running best-t is
+    # below a block's earliest entry, the block is provably occluded —
+    # the wavefront analog of the t_max shrink in the reference's node
+    # walk (bvh.rs:176,197).
+    cnt = jnp.sum(can.astype(jnp.int32), axis=0)
+    tn_blk = jnp.min(jnp.where(can, t_near, jnp.float32(3e38)), axis=0)
+    return cnt, tn_blk
+
+
+def _mt_block(rf, feat_ref, c, t_eps):
+    """One MXU dot [BN,96]@[96,4*BC] for face block ``c`` (dynamic), then
+    the acceptance epilogue. Returns (valid_base, T, adet): valid pairs
+    with T/adet > t_eps (the t_best/t_cap window is applied by callers)."""
+    dot = jax.lax.dot_general(
+        rf, feat_ref[0, :, pl.ds(c * (4 * BC), 4 * BC)],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [BN, 4*BC]
+    det = dot[:, 0 * BC:1 * BC]
+    u_num = dot[:, 1 * BC:2 * BC]
+    v_num = dot[:, 2 * BC:3 * BC]
+    t_num = dot[:, 3 * BC:4 * BC]
+    sg = jnp.sign(det)
+    adet = jnp.abs(det)
+    U = u_num * sg
+    V = v_num * sg
+    T = t_num * sg
+    eps = REL_EPS * adet
+    valid = (adet > 1e-20) \
+        & (U >= -eps) & (V >= -eps) & (U + V <= adet + eps) \
+        & (T > t_eps * adet)
+    return valid, T, adet
+
+
+def _kernel(nact_ref, aux_ref, feat_ref, aabbT_ref,
+            t_ref, idx_ref, *, nsb: int, t_eps: float):
     i = pl.program_id(1)
     s = pl.program_id(0)
     live = i * BN < nact_ref[0]
+    ch = feat_ref.shape[-1] // 4
 
     @pl.when(live)
     def _work():
         aux = aux_ref[...]                    # [BN, 8] f32: o, d, t_cap
-        o = aux[:, 0:3]
-        d = aux[:, 3:6]
-        inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
-
-        # bf16x6 ray features built in VMEM (R = [d, o×d, o, 1, 0...]):
-        # no [N, 96] HBM array, ~BN*16 VPU flops per tile
-        ox, oy, oz = aux[:, 0:1], aux[:, 1:2], aux[:, 2:3]
-        dx, dy, dz = aux[:, 3:4], aux[:, 4:5], aux[:, 5:6]
-        cxd = jnp.concatenate(
-            [oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx],
-            axis=1)                           # [BN, 3]
-        ones = jnp.ones((aux.shape[0], 1), jnp.float32)
-        zeros = jnp.zeros((aux.shape[0], _K - 10), jnp.float32)
-        rf32 = jnp.concatenate([d, cxd, o, ones, zeros], axis=1)  # [BN, 16]
-        sp = _split3_cols(rf32)
-        rf = jnp.concatenate([sp[k] for k in _RF_SPLITS], axis=1)  # [BN, 96]
-
-        # per-superblock partial best: every (s, i) grid step owns its own
-        # output block, so no state crosses grid steps (cross-step carries
-        # via input/output aliasing proved unreliable — stale in interpret
-        # mode and racy on the remote-TPU backend); the cheap min over the
-        # superblock axis happens in XLA after the kernel
-        carry0 = (aux[:, 6:7], jnp.full((aux.shape[0], 1), -1, jnp.int32))
+        rf = _ray_setup(aux)
+        t_cap = aux[:, 6:7]
+        cnt, tn_blk = _precull(aux, aabbT_ref, t_cap)
+        # 1-D [BN] carries: [BN, 1] shapes pad 128x on the lane axis
+        carry0 = (t_cap[:, 0], jnp.full((aux.shape[0],), -1, jnp.int32),
+                  jnp.max(t_cap[:, 0]))
 
         def test_block(c, carry):
-            t_best, i_best = carry
-            # one single-pass bf16x6 MXU dot per quantity (full f32
-            # fidelity: the 6 cross terms live on the K axis)
-            dot = lambda k: jax.lax.dot_general(
-                rf, feat_ref[0, k, :, pl.ds(c * BC, BC)],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            det = dot(0)
-            u_num = dot(1)
-            v_num = dot(2)
-            t_num = dot(3)
-
-            sg = jnp.sign(det)
-            adet = jnp.abs(det)
-            U = u_num * sg
-            V = v_num * sg
-            T = t_num * sg
-            eps = REL_EPS * adet
-            valid = (adet > 1e-20) \
-                & (U >= -eps) & (V >= -eps) & (U + V <= adet + eps) \
-                & (T > t_eps * adet) & (T < t_best * adet)
+            t_best, i_best, _ = carry
+            valid, T, adet = _mt_block(rf, feat_ref, c, t_eps)
+            valid = valid & (T < t_best[:, None] * adet)
             t = jnp.where(valid, T / jnp.where(adet == 0.0, 1.0, adet),
                           jnp.float32(3e38))
-            # reduction-only block argmin (Mosaic has no row gather): min t,
-            # then min column index among entries equal to it
-            t_c = jnp.min(t, axis=1, keepdims=True)              # [BN, 1]
+            # reduction-only block argmin (Mosaic has no row gather): min
+            # t, then min column index among entries equal to it
+            t_c = jnp.min(t, axis=1)                             # [BN]
             cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            j = jnp.min(jnp.where(t <= t_c, cols, jnp.int32(1 << 30)),
-                        axis=1, keepdims=True)
+            j = jnp.min(jnp.where(t <= t_c[:, None], cols,
+                                  jnp.int32(1 << 30)), axis=1)
             better = t_c < t_best
             t_best = jnp.where(better, t_c, t_best)
-            i_best = jnp.where(better, s * SB + c * BC + j, i_best)
-            return t_best, i_best
+            i_best = jnp.where(better, s * ch + c * BC + j, i_best)
+            return t_best, i_best, jnp.max(t_best)
 
-        def body(c, carry):
-            # tile-coherent cull: slab-test every ray in the tile against
-            # the block AABB; skip the MXU sweep when none can hit
-            # (conservative 1e-4 relative expansion on t_far)
-            box = aabb_ref[0, pl.ds(c, 1), :]             # [1, 8]
-            t_lo = (box[:, 0:3] - o) * inv_d              # [BN, 3]
-            t_hi = (box[:, 3:6] - o) * inv_d
-            t_near = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1,
-                             keepdims=True)
-            t_far = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1,
-                            keepdims=True) * 1.0001
-            t_best = carry[0]
-            can_hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < t_best)
-            return jax.lax.cond(jnp.any(can_hit), test_block,
-                                lambda _, cr: cr, c, carry)
+        # both walk levels unrolled in python: all vector extracts and
+        # feat slices are static (Mosaic has no dynamic extract), and a
+        # not-taken cond costs ~0.14 us — ~45 conds/tile is noise
+        carry = carry0
+        for b in range(nsb):
+            s_lo, s_hi = b * 8, (b + 1) * 8
+            sb_cnt = jnp.sum(jax.lax.slice(cnt, (s_lo,), (s_hi,)))
+            sb_tn = jnp.min(jax.lax.slice(tn_blk, (s_lo,), (s_hi,)))
 
-        # superblock-level cull (the coarse level of the two-level scheme)
-        sbox = sb_ref[0]                                  # [1, 8]
-        t_lo = (sbox[:, 0:3] - o) * inv_d
-        t_hi = (sbox[:, 3:6] - o) * inv_d
-        t_near = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1, keepdims=True)
-        t_far = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1,
-                        keepdims=True) * 1.0001
-        sb_hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < carry0[0])
-        t_best, i_best = jax.lax.cond(
-            jnp.any(sb_hit),
-            lambda cr: jax.lax.fori_loop(0, nb, body, cr),
-            lambda cr: cr, carry0)
-        # the output block is the full [tiles, BN] slab for this superblock
-        # (kept VMEM-resident across the inner tile loop; a [1, 1, BN]
-        # block is not a legal Mosaic tiling — sublane dim 1 < 8): each
-        # tile writes its own row
-        t_ref[0, i, :] = t_best[:, 0]
-        idx_ref[0, i, :] = i_best[:, 0]
+            def sb_take(cr, s_lo=s_lo, s_hi=s_hi):
+                for c in range(s_lo, s_hi):
+                    cr = jax.lax.cond(
+                        (cnt[c] > 0) & (tn_blk[c] < cr[2]),
+                        functools.partial(test_block, c),
+                        lambda x: x, cr)
+                return cr
+
+            carry = jax.lax.cond((sb_cnt > 0) & (sb_tn < carry[2]),
+                                 sb_take, lambda cr: cr, carry)
+        t_best, i_best, _ = carry
+        t_ref[0, i, :] = t_best
+        idx_ref[0, i, :] = i_best
 
     @pl.when(jnp.logical_not(live))
     def _skip():
-        # dead tile: no hit
         t_ref[0, i, :] = jnp.full((aux_ref.shape[0],), 3e38, jnp.float32)
         idx_ref[0, i, :] = jnp.full((aux_ref.shape[0],), -1, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("t_eps", "interpret"))
-def _sweep(n_active, aux, feat, aabb, sb_aabb, t_eps: float = 1e-4,
+def _kernel_any(nact_ref, aux_ref, feat_ref, aabbT_ref,
+                occ_ref, *, nsb: int, t_eps: float):
+    """Occlusion (any-hit) sweep: per-ray bool (as int32 — bool vectors do
+    not legalize through scf.if), per-superblock early-out once every live
+    ray is occluded (reference intersect_test early-out, bvh.rs:217-266).
+    The t window is (t_eps, t_cap) — identical acceptance to the
+    closest-hit kernel, so shadow and camera rays can never disagree."""
+    i = pl.program_id(1)
+    live = i * BN < nact_ref[0]
+
+    @pl.when(live)
+    def _work():
+        aux = aux_ref[...]
+        rf = _ray_setup(aux)
+        t_cap = aux[:, 6:7]
+        cnt, _ = _precull(aux, aabbT_ref, t_cap)
+        occ0 = jnp.zeros((aux.shape[0],), jnp.int32)
+        n_need = jnp.sum((t_cap[:, 0] > 0.0).astype(jnp.int32))
+
+        def test_block(c, occ):
+            window = jnp.where(occ > 0, jnp.float32(-1.0), t_cap[:, 0])
+            valid, T, adet = _mt_block(rf, feat_ref, c, t_eps)
+            valid = valid & (T < window[:, None] * adet)
+            return occ | jnp.any(valid, axis=1).astype(jnp.int32)
+
+        occ = occ0
+        for b in range(nsb):
+            sb_cnt = jnp.sum(jax.lax.slice(cnt, (b * 8,), ((b + 1) * 8,)))
+
+            def sb_take(oc, b=b):
+                for c in range(b * 8, (b + 1) * 8):
+                    oc = jax.lax.cond(cnt[c] > 0,
+                                      functools.partial(test_block, c),
+                                      lambda x: x, oc)
+                return oc
+
+            # early-out: skip once every ray needing a verdict has one
+            todo = (sb_cnt > 0) & (jnp.sum(occ) < n_need)
+            occ = jax.lax.cond(todo, sb_take, lambda oc: oc, occ)
+        occ_ref[0, i, :] = occ
+
+    @pl.when(jnp.logical_not(live))
+    def _skip():
+        occ_ref[0, i, :] = jnp.zeros((aux_ref.shape[0],), jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t_eps", "any_hit", "interpret"))
+def _sweep(n_active, aux, feat, aabbT,
+           t_eps: float = 1e-4, any_hit: bool = False,
            interpret: bool = False):
     n = aux.shape[0]
     n_tiles = n // BN
     s_blocks = feat.shape[0]
-    nb = feat.shape[-1] // BC
-    kern = functools.partial(_kernel, nb=nb, t_eps=t_eps)
+    nblk = aabbT.shape[-1]
+    nsb = nblk // 8
+    if any_hit:
+        kern = functools.partial(_kernel_any, nsb=nsb, t_eps=t_eps)
+        out_shape = [jax.ShapeDtypeStruct((s_blocks, n_tiles, BN),
+                                          jnp.int32)]
+        out_specs = [pl.BlockSpec((1, n_tiles, BN),
+                                  lambda s, i, *_: (s, 0, 0))]
+    else:
+        kern = functools.partial(_kernel, nsb=nsb, t_eps=t_eps)
+        out_shape = [
+            jax.ShapeDtypeStruct((s_blocks, n_tiles, BN), jnp.float32),
+            jax.ShapeDtypeStruct((s_blocks, n_tiles, BN), jnp.int32),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, n_tiles, BN), lambda s, i, *_: (s, 0, 0)),
+            pl.BlockSpec((1, n_tiles, BN), lambda s, i, *_: (s, 0, 0)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(s_blocks, n_tiles),
         in_specs=[
             pl.BlockSpec((BN, 8), lambda s, i, *_: (i, 0)),      # aux
-            pl.BlockSpec((1, 4, _K6, SB), lambda s, i, *_: (s, 0, 0, 0)),
-            pl.BlockSpec((1, nb, 8), lambda s, i, *_: (s, 0, 0)),  # aabb
-            pl.BlockSpec((1, 1, 8), lambda s, i, *_: (s, 0, 0)),   # sb aabb
+            pl.BlockSpec((1, _K6, feat.shape[-1]),
+                         lambda s, i, *_: (s, 0, 0)),
+            pl.BlockSpec((1, 8, nblk), lambda s, i, *_: (s, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, n_tiles, BN), lambda s, i, *_: (s, 0, 0)),
-            pl.BlockSpec((1, n_tiles, BN), lambda s, i, *_: (s, 0, 0)),
-        ],
+        out_specs=out_specs,
     )
-    # outputs [S, tiles, BN]: BN on the lane axis (zero padding); the old
-    # [S, N, 1] layout padded the trailing 1 to 128 lanes (128x HBM)
-    t_part, i_part = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((s_blocks, n_tiles, BN), jnp.float32),
-            jax.ShapeDtypeStruct((s_blocks, n_tiles, BN), jnp.int32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(n_active, aux, feat, aabb, sb_aabb)
+    )(n_active, aux, feat, aabbT)
+    if any_hit:
+        occ = outs[0].reshape(s_blocks, n)
+        return (occ != 0).any(axis=0)
+    t_part, i_part = outs
     tp = t_part.reshape(s_blocks, n)
     ip = i_part.reshape(s_blocks, n)
     if s_blocks == 1:
         return tp[0], ip[0]
-    # min over the superblock axis (ties -> lowest s -> lowest face index,
+    # min over the chunk axis (ties -> lowest s -> lowest face index,
     # matching the tensor path's first-argmin convention)
     s_star = jnp.argmin(tp, axis=0)[None]              # [1, n]
     t = jnp.take_along_axis(tp, s_star, axis=0)[0]
@@ -317,7 +420,7 @@ def sort_keys(o: V3, d: V3) -> jnp.ndarray:
     """Spatial-coherence sort key per ray: Morton(origin cell) in the high
     bits, Morton(direction octant cell) low — rays that start near each
     other and point the same way land in the same kernel tile, so the
-    tile-level AABB cull (see _kernel body) actually prunes blocks.
+    per-tile block pre-cull (see _precull) actually prunes blocks.
     This is the wavefront analog of the tile decomposition the reference
     gets for free from its scanline tiles (integrator/mod.rs:199)."""
     def qcell(c):
@@ -345,7 +448,7 @@ def mt_intersect_pallas(qdata, o: V3, d: V3, t_max,
     (wavefront occupancy; the analog of the reference's per-lane break,
     path.rs:84-91).
     """
-    qfeat, qaabb, qsb = qdata
+    qfeat, qaabbT = qdata
     n = o.shape[0]
     npad = -(-n // BN) * BN
     # (t, idx) carry no gradient path to scene parameters; detach the ray
@@ -379,7 +482,15 @@ def mt_intersect_pallas(qdata, o: V3, d: V3, t_max,
     if npad != n:
         aux = jnp.pad(aux, ((0, npad - n), (0, 0)),
                       constant_values=-1.0)  # padded lanes: t_cap = -1
-    t, idx = _sweep(n_active, aux, qfeat, qaabb, qsb, t_eps=t_eps,
+    if any_hit:
+        occ = _sweep(n_active, aux, qfeat, qaabbT, t_eps=t_eps,
+                     any_hit=True, interpret=interpret)
+        occ = occ[:n]
+        if perm is not None:
+            occ = jnp.zeros_like(occ).at[perm].set(occ)
+        t = jnp.where(occ, 0.0, jnp.inf)
+        return t, jnp.where(occ, 0, -1), occ
+    t, idx = _sweep(n_active, aux, qfeat, qaabbT, t_eps=t_eps,
                     interpret=interpret)
     t = t[:n]
     idx = idx[:n]
@@ -394,6 +505,4 @@ def mt_intersect_pallas(qdata, o: V3, d: V3, t_max,
         idx = out[:, 1]
     found = idx >= 0
     idx = jnp.maximum(idx, 0)
-    if any_hit:
-        return t, idx, found
     return jnp.where(found, t, jnp.inf), idx, found

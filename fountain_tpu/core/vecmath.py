@@ -305,16 +305,30 @@ def spherical_phi(v) -> jnp.ndarray:
     return jnp.where(p < 0.0, p + 2.0 * PI, p)
 
 
+@jax.custom_jvp
 def next_float_up(x: jnp.ndarray) -> jnp.ndarray:
-    # ulp rounding expressed as x + const so autodiff passes straight
-    # through (nextafter has no JVP rule; its true derivative is 1 a.e.)
-    return x + jax.lax.stop_gradient(
-        jnp.nextafter(x, jnp.asarray(jnp.inf, x.dtype)) - x)
+    # custom_jvp with identity tangent: nextafter has no JVP rule in JAX,
+    # and its true derivative is 1 almost everywhere (piecewise-identity
+    # ulp bump). A stop_gradient wrapper is NOT enough — the primitive is
+    # still traced with a JVP tracer inside and raises NotImplementedError.
+    return jnp.nextafter(x, jnp.asarray(jnp.inf, x.dtype))
 
 
+@next_float_up.defjvp
+def _next_float_up_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    return next_float_up(x), t
+
+
+@jax.custom_jvp
 def next_float_down(x: jnp.ndarray) -> jnp.ndarray:
-    return x + jax.lax.stop_gradient(
-        jnp.nextafter(x, jnp.asarray(-jnp.inf, x.dtype)) - x)
+    return jnp.nextafter(x, jnp.asarray(-jnp.inf, x.dtype))
+
+
+@next_float_down.defjvp
+def _next_float_down_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    return next_float_down(x), t
 
 
 def offset_ray_origin(p, p_err, n, w):

@@ -152,6 +152,10 @@ def sphere_hit_info(sph: Spheres, idx: jnp.ndarray, o_w, d_w, t, valid):
     w2o = o2w.inverse
     r = g(sph.radius)
 
+    # miss lanes carry t = inf / t_max = -1; p = o + inf*d would be NaN,
+    # and a NaN primal poisons reverse-mode cotangents of every op that
+    # touches it even when the lane is masked downstream (0 * NaN = NaN)
+    t = jnp.where(valid & jnp.isfinite(t), t, 0.0)
     o = tf.transform_point(w2o, o_w)
     d = tf.transform_vector(w2o, d_w)
     p = o + t[..., None] * d

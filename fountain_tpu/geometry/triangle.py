@@ -319,11 +319,14 @@ def build_tri_attr(tris: Triangles, tri_verts) -> jnp.ndarray:
     out[:, 0:9] = v
     out[:, 9:18] = n_all
     out[:, 18:24] = uv_all
-    out[:, 24] = np.asarray(tris.mat_id, np.int32).view(np.float32)
-    out[:, 25] = np.asarray(tris.light_id, np.int32).view(np.float32)
+    # ids/flags stored as plain float VALUES (exact for |v| < 2^24), not
+    # bitcasts: -1 bitcast to f32 is 0xFFFFFFFF = NaN, which TPU float
+    # transport may canonicalize and which poisons NaN-debugging
+    out[:, 24] = np.asarray(tris.mat_id, np.float32)
+    out[:, 25] = np.asarray(tris.light_id, np.float32)
     flags = (np.asarray(tris.has_normals).astype(np.int32)
              | (np.asarray(tris.flip_normal).astype(np.int32) << 1))
-    out[:, 26] = flags.view(np.float32)
+    out[:, 26] = flags.astype(np.float32)
     return jnp.asarray(out)
 
 
@@ -346,9 +349,9 @@ def triangle_hit_info(tris: Triangles, face_idx, o: V3, d: V3, t, valid,
         uv0 = (g(18), g(19))
         uv1 = (g(20), g(21))
         uv2 = (g(22), g(23))
-        mat_id = jax.lax.bitcast_convert_type(g(24), jnp.int32)
-        light_id = jax.lax.bitcast_convert_type(g(25), jnp.int32)
-        flags = jax.lax.bitcast_convert_type(g(26), jnp.int32)
+        mat_id = g(24).astype(jnp.int32)
+        light_id = g(25).astype(jnp.int32)
+        flags = g(26).astype(jnp.int32)
         has_n = (flags & 1) != 0
         flip = (flags & 2) != 0
     else:

@@ -53,6 +53,17 @@ from fountain_tpu.shading.bsdf import (bsdf_f_pdf, bsdf_sample,
                                        gather_shading, has_non_specular,
                                        local_to_world, world_to_local)
 
+# debug: names added here get their gradient contribution severed
+# (stop_gradient) to bisect NaN sources; empty in production
+_DBG_SG = set()
+
+
+def _dbg(name, x):
+    if name in _DBG_SG:
+        return jax.tree.map(jax.lax.stop_gradient, x)
+    return x
+
+
 # RNG slot layout within a bounce (dims are bounce*SLOTS + slot)
 _SLOTS = 4
 _SLOT_BSDF = 0      # u_lobe, u1, u2
@@ -94,7 +105,8 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
     wi = detach(ls.wi)
     wi_l = world_to_local(hit, wi)
     f, scattering_pdf = bsdf_f_pdf(sp, wo_l, wi_l)
-    f_cos = f * absdot(wi, hit.ns)
+    f = _dbg("nee_f", f)
+    f_cos = f * absdot(wi, _dbg("nee_ns", hit.ns))
     light_pdf_val = detach(ls.pdf)
 
     possible = (light_pdf_val > 0.0) & ls.radiance.any_positive() \
@@ -117,8 +129,8 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
                                          detach(scattering_pdf)))
     ld = where3(
         unocc,
-        f_cos * ls.radiance * (weight_l
-                               / jnp.maximum(light_pdf_val, 1e-12)),
+        f_cos * _dbg("nee_rad", ls.radiance)
+        * (_dbg("nee_w", weight_l) / jnp.maximum(light_pdf_val, 1e-12)),
         0.0)
     if not bsdf_branch:
         return ld
@@ -227,14 +239,14 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
                 le_env = le_env + environment_light_radiance(
                     scene, k, rd) * w_k
             le_env = where3(hit.valid, 0.0, le_env)
-            st["radiance"] = st["radiance"] + where3(
+            st["radiance"] = st["radiance"] + _dbg("emit", where3(
                 st["active"],
-                st["beta"] * (le_surf * w_surf + le_env), 0.0)
+                st["beta"] * (le_surf * w_surf + le_env), 0.0))
         else:
             le_env = where3(hit.valid, 0.0, environment_radiance(scene, rd))
-            st["radiance"] = st["radiance"] + where3(
+            st["radiance"] = st["radiance"] + _dbg("emit", where3(
                 st["active"] & gate,
-                st["beta"] * (le_surf + le_env), 0.0)
+                st["beta"] * (le_surf + le_env), 0.0))
 
         # --- terminate: escaped or depth cap (path.rs:53-56)
         alive = st["active"] & hit.valid & (bounce < cfg.max_depth)
@@ -266,8 +278,8 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
                 scene, hit, sp, light_idx, n_lights,
                 (u_sel[1], u_sel[2]), (u_sc[0], u_sc[1], u_sc[2]), detach,
                 bsdf_branch=(cfg.mode != "path"), active=nee_on)
-            st["radiance"] = st["radiance"] + where3(
-                nee_on, st["beta"] * direct * jnp.float32(n_lights), 0.0)
+            st["radiance"] = st["radiance"] + _dbg("nee", where3(
+                nee_on, st["beta"] * direct * jnp.float32(n_lights), 0.0))
             if count_rays:  # shadow ray per NEE lane (+MIS ray in direct)
                 per_lane = 1 if cfg.mode == "path" else 2
                 st["n_rays"] = st["n_rays"] + per_lane * jnp.sum(
@@ -322,7 +334,8 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
         new_rd = where3(null_bsdf, rd, where3(alive, wi_w, rd))
         st["ox"], st["oy"], st["oz"] = new_ro.x, new_ro.y, new_ro.z
         st["dx"], st["dy"], st["dz"] = new_rd.x, new_rd.y, new_rd.z
-        st["beta"] = where3(alive & ~null_bsdf, new_beta, st["beta"])
+        st["beta"] = _dbg("beta", where3(alive & ~null_bsdf, new_beta,
+                                          st["beta"]))
         st["specular"] = jnp.where(null_bsdf, st["specular"],
                                    jnp.where(alive, bs.is_specular,
                                              st["specular"]))
@@ -377,8 +390,21 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
             st = bounce_body(bounce, st)
             return st, None
 
-        state, _ = jax.lax.scan(scan_body, state,
-                                jnp.arange(cfg.max_depth + 1))
+        if "unroll" in _DBG_SG:      # debug: python loop instead of scan
+            for b in range(cfg.max_depth + 1):
+                state, _ = scan_body(state, jnp.int32(b))
+        elif "nockpt" in _DBG_SG:    # debug: scan without remat
+            def scan_body_nc(carry, bounce):
+                st = dict(carry)
+                if detach_sampling:
+                    for k in _geo:
+                        st[k] = jax.lax.stop_gradient(st[k])
+                return bounce_body(bounce, st), None
+            state, _ = jax.lax.scan(scan_body_nc, state,
+                                    jnp.arange(cfg.max_depth + 1))
+        else:
+            state, _ = jax.lax.scan(scan_body, state,
+                                    jnp.arange(cfg.max_depth + 1))
     else:
         state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce_body, state)
     if count_rays:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from fountain_tpu.core import transform as tf
@@ -82,12 +83,12 @@ def _light_table(scene: Scene) -> jnp.ndarray:
 
     Layout: 0 ltype | 1:4 emit | 4:7 pos | 7:10 dir | 10 shape_id |
     11 tri_start | 12 tri_count | 13 env_tex | 14 area | 15 pad
-    (int fields bitcast f32, detached)."""
-    import jax
+    (int fields stored as float VALUES — exact for |v| < 2^24; a bitcast
+    of -1 would be 0xFFFFFFFF = NaN, which TPU float transport can
+    canonicalize and which poisons NaN debugging — and detached)."""
     lt = scene.lights
     sg = jax.lax.stop_gradient
-    bi = lambda a: jax.lax.bitcast_convert_type(
-        sg(a).astype(jnp.int32), jnp.float32)
+    bi = lambda a: sg(a).astype(jnp.float32)
     zeros = jnp.zeros((lt.count,), Float)
     cols = [bi(lt.ltype),
             lt.emit[:, 0], lt.emit[:, 1], lt.emit[:, 2],
@@ -104,9 +105,8 @@ class _LightRows:
     def __init__(self, scene: Scene, li):
         from fountain_tpu.core.gather import gather_rows
         self._r = gather_rows(_light_table(scene), li)
-        import jax
-        self._ib = lambda k: jax.lax.bitcast_convert_type(
-            jax.lax.stop_gradient(self._r[:, k]), jnp.int32)
+        self._ib = lambda k: jax.lax.stop_gradient(
+            self._r[:, k]).astype(jnp.int32)
 
     @property
     def ltype(self):
@@ -118,11 +118,15 @@ class _LightRows:
 
     @property
     def pos(self) -> V3:
-        return V3(self._r[:, 4], self._r[:, 5], self._r[:, 6])
+        # geometry columns are non-differentiable; detach so the gathered
+        # row's tangent never reaches ray-offset ulp math (round-3 regression)
+        sg = jax.lax.stop_gradient
+        return V3(sg(self._r[:, 4]), sg(self._r[:, 5]), sg(self._r[:, 6]))
 
     @property
     def dir(self) -> V3:
-        return V3(self._r[:, 7], self._r[:, 8], self._r[:, 9])
+        sg = jax.lax.stop_gradient
+        return V3(sg(self._r[:, 7]), sg(self._r[:, 8]), sg(self._r[:, 9]))
 
     @property
     def shape_id(self):

@@ -45,7 +45,72 @@ except AttributeError:  # pragma: no cover
     shard_map = _sm
 
 
+_dist_initialized = False
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     local_device_ids=None) -> int:
+    """Multi-host entry point (SURVEY §2 communication-backend row).
+
+    Wires ``jax.distributed.initialize`` (DCN rendezvous; on TPU pods all
+    arguments auto-detect from the metadata server) and then runs an
+    **init barrier**: a psum of 1 over every device in the global mesh.
+    The barrier is the minimum failure-detection story SURVEY §5 asks for —
+    a host that failed to come up stalls the collective instead of
+    silently rendering a partial film (the reference's lone sync point is
+    the film-tile mutex, src/film.rs:121-132; here it is a collective, so
+    initialization must prove the full mesh is reachable first).
+
+    Safe to call in single-process runs (skips ``initialize`` when no
+    coordinator is configured and only one process exists). Returns the
+    process index.
+    """
+    global _dist_initialized
+    import os
+    have_coord = (coordinator_address is not None
+                  or os.environ.get("JAX_COORDINATOR_ADDRESS")
+                  or os.environ.get("COORDINATOR_ADDRESS"))
+    multi = (num_processes or 1) > 1 or have_coord
+    if multi and not _dist_initialized:
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs["coordinator_address"] = coordinator_address
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        if local_device_ids is not None:
+            kwargs["local_device_ids"] = local_device_ids
+        jax.distributed.initialize(**kwargs)
+        _dist_initialized = True
+    barrier_sync()
+    return jax.process_index()
+
+
+def barrier_sync() -> None:
+    """Block until every device in the global mesh answers a psum(1).
+
+    Used as the init barrier and before checkpoint writes so restartable
+    sample ranges (io.checkpoint) never mix films from disagreeing hosts.
+    """
+    mesh = make_render_mesh()
+    ones = jnp.ones((mesh.devices.size,), jnp.int32)
+
+    fn = shard_map(lambda x: jax.lax.psum(x, "batch"), mesh=mesh,
+                   in_specs=(P("batch"),), out_specs=P(), check_vma=False)
+    total = int(fn(ones)[0])
+    if total != mesh.devices.size:
+        raise RuntimeError(
+            f"init barrier failed: {total} != {mesh.devices.size}")
+
+
 def make_render_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1D device mesh over the **global** device list: in a multi-host run
+    ``jax.devices()`` already spans every process after
+    ``init_distributed``, so the same mesh code serves one chip, one host,
+    or a pod slice (collectives ride ICI within a slice, DCN across)."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]

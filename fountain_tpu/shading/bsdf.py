@@ -81,14 +81,15 @@ def _shading_table(scene: Scene) -> jnp.ndarray:
 
     Layout: 0 mtype | 1 eta | 2:5 eta3 | 5:8 k3 | 8 remap | 9:12 pad,
     then per slot s at 12+12s: 0 ttype | 1:4 value | 4:6 uv_scale |
-    6:8 uv_offset | 8 image_id | 9 tid | 10:12 pad (int fields bitcast
-    f32 and detached).
+    6:8 uv_offset | 8 image_id | 9 tid | 10:12 pad (int fields stored as
+    float VALUES — exact for |v| < 2^24; a bitcast of -1 would be
+    0xFFFFFFFF = NaN, which TPU float transport can canonicalize — and
+    detached).
     """
     import jax
     m, tex = scene.materials, scene.textures
     sg = jax.lax.stop_gradient
-    bi = lambda a: jax.lax.bitcast_convert_type(
-        sg(a).astype(jnp.int32), jnp.float32)
+    bi = lambda a: sg(a).astype(jnp.float32)
     zeros = jnp.zeros((m.count,), jnp.float32)
 
     def slot(tid_arr):
@@ -140,8 +141,7 @@ def gather_shading(scene: Scene, hit: Hit, tex_lookup=None,
 
     rows = gather_rows(_shading_table(scene), mid)      # [N, 96]
     col = lambda k: rows[:, k]
-    ib = lambda k: jax.lax.bitcast_convert_type(
-        jax.lax.stop_gradient(col(k)), jnp.int32)
+    ib = lambda k: jax.lax.stop_gradient(col(k)).astype(jnp.int32)
 
     def eval_slot(s):
         off = _SLOT0 + _SLOT_W * s
@@ -208,8 +208,10 @@ def _oren_nayar_f(kd: V3, sigma_deg, wo: V3, wi: V3) -> V3:
     s2 = sigma * sigma
     a = 1.0 - s2 / (2.0 * (s2 + 0.33))
     b = 0.45 * s2 / (s2 + 0.09)
-    sin_ti = jnp.sqrt(mf.sin2_theta(wi))
-    sin_to = jnp.sqrt(mf.sin2_theta(wo))
+    # sqrt guarded away from 0: sqrt'(0)=inf leaks NaN cotangents into
+    # masked lanes (this lobe is evaluated-all under where-selects)
+    sin_ti = jnp.sqrt(jnp.maximum(mf.sin2_theta(wi), 1e-36))
+    sin_to = jnp.sqrt(jnp.maximum(mf.sin2_theta(wo), 1e-36))
     # max(0, cos(phi_i - phi_o))
     cos_d_phi = (mf.cos_phi(wi) * mf.cos_phi(wo)
                  + mf.sin_phi(wi) * mf.sin_phi(wo))

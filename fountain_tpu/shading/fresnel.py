@@ -25,10 +25,11 @@ def fresnel_dielectric(cos_theta_i, eta_i, eta_t):
     et = jnp.where(entering, eta_t, eta_i)
     cos_i = jnp.abs(cos_i)
 
-    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    # sqrt floors are 1e-36 (not 0): sqrt'(0)=inf leaks NaN cotangents
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 1e-36))
     sin_t = ei / et * sin_i
     tir = sin_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 1e-36))
 
     r_parl = ((et * cos_i) - (ei * cos_t)) / \
         jnp.maximum((et * cos_i) + (ei * cos_t), 1e-20)
@@ -56,9 +57,9 @@ def fresnel_conductor(cos_theta_i, eta_i, eta_t, k):
         eta2 = eta * eta
         eta_k2 = eta_k * eta_k
         t0 = eta2 - eta_k2 - sin2
-        a2_plus_b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * eta_k2, 0.0))
+        a2_plus_b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * eta_k2, 1e-36))
         t1 = a2_plus_b2 + cos2
-        a = jnp.sqrt(jnp.maximum(0.5 * (a2_plus_b2 + t0), 0.0))
+        a = jnp.sqrt(jnp.maximum(0.5 * (a2_plus_b2 + t0), 1e-36))
         t2 = 2.0 * a * cos_i
         rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
         t3 = cos2 * a2_plus_b2 + sin2 * sin2

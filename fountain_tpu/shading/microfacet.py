@@ -40,13 +40,18 @@ def tan2_theta(w):
 
 
 def cos_phi(w):
-    s = jnp.sqrt(sin2_theta(w))
-    return jnp.where(s == 0.0, 1.0, jnp.clip(w.x / jnp.maximum(s, 1e-20), -1.0, 1.0))
+    # sqrt guarded away from 0: sqrt'(0) = inf would leak 0*inf = NaN into
+    # cotangents of masked lanes (all these helpers are evaluated-all-lobes
+    # under where-selects, so they must be NaN-free in fwd AND bwd)
+    s = jnp.sqrt(jnp.maximum(sin2_theta(w), 1e-36))
+    return jnp.where(sin2_theta(w) == 0.0, 1.0,
+                     jnp.clip(w.x / s, -1.0, 1.0))
 
 
 def sin_phi(w):
-    s = jnp.sqrt(sin2_theta(w))
-    return jnp.where(s == 0.0, 0.0, jnp.clip(w.y / jnp.maximum(s, 1e-20), -1.0, 1.0))
+    s = jnp.sqrt(jnp.maximum(sin2_theta(w), 1e-36))
+    return jnp.where(sin2_theta(w) == 0.0, 0.0,
+                     jnp.clip(w.y / s, -1.0, 1.0))
 
 
 def same_hemisphere(a, b):
@@ -65,20 +70,31 @@ def roughness_to_alpha(roughness):
 
 
 def tr_d(wh, ax, ay):
-    t2 = tan2_theta(wh)
-    c4 = cos2_theta(wh) ** 2
-    e = (cos_phi(wh) ** 2 / jnp.maximum(ax * ax, 1e-20)
-         + sin_phi(wh) ** 2 / jnp.maximum(ay * ay, 1e-20)) * t2
-    d = 1.0 / (PI * ax * ay * c4 * (1.0 + e) ** 2)
-    return jnp.where(jnp.isfinite(t2) & (c4 > 0.0), d, 0.0)
+    """GGX NDF. Every intermediate is clamped finite so reverse-mode stays
+    NaN-free on masked/degenerate lanes (the masked-where 0*inf trap:
+    a where() guards the primal but the cotangent of an inf intermediate
+    is NaN even with zero incoming cotangent)."""
+    c2 = cos2_theta(wh)
+    ok = c2 > 1e-10
+    c2s = jnp.where(ok, c2, 1.0)
+    t2 = sin2_theta(wh) / c2s
+    e = jnp.minimum((cos_phi(wh) ** 2 / jnp.maximum(ax * ax, 1e-20)
+                     + sin_phi(wh) ** 2 / jnp.maximum(ay * ay, 1e-20)) * t2,
+                    1e16)
+    d = 1.0 / jnp.maximum(
+        PI * jnp.maximum(ax * ay, 1e-20) * c2s * c2s * (1.0 + e) ** 2,
+        1e-30)
+    return jnp.where(ok, d, 0.0)
 
 
 def tr_lambda(w, ax, ay):
-    abs_tan = jnp.sqrt(tan2_theta(w))
-    alpha = jnp.sqrt(cos_phi(w) ** 2 * ax * ax + sin_phi(w) ** 2 * ay * ay)
-    a2t2 = (alpha * abs_tan) ** 2
+    c2 = cos2_theta(w)
+    ok = c2 > 1e-10
+    t2 = sin2_theta(w) / jnp.where(ok, c2, 1.0)
+    alpha2 = cos_phi(w) ** 2 * ax * ax + sin_phi(w) ** 2 * ay * ay
+    a2t2 = jnp.minimum(alpha2 * t2, 1e30)
     lam = (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0
-    return jnp.where(jnp.isfinite(abs_tan), lam, 0.0)
+    return jnp.where(ok, lam, 0.0)
 
 
 def tr_sample_wh(u1, u2, ax, ay):
@@ -108,23 +124,31 @@ def tr_sample_wh(u1, u2, ax, ay):
 
 
 def beckmann_d(wh, ax, ay):
-    t2 = tan2_theta(wh)
-    c4 = cos2_theta(wh) ** 2
-    d = jnp.exp(-t2 * (cos_phi(wh) ** 2 / jnp.maximum(ax * ax, 1e-20)
-                       + sin_phi(wh) ** 2 / jnp.maximum(ay * ay, 1e-20))) \
-        / (PI * ax * ay * jnp.maximum(c4, 1e-20))
-    return jnp.where(jnp.isfinite(t2) & (c4 > 0.0), d, 0.0)
+    c2 = cos2_theta(wh)
+    ok = c2 > 1e-10
+    c2s = jnp.where(ok, c2, 1.0)
+    t2 = sin2_theta(wh) / c2s
+    expo = jnp.minimum(
+        t2 * (cos_phi(wh) ** 2 / jnp.maximum(ax * ax, 1e-20)
+              + sin_phi(wh) ** 2 / jnp.maximum(ay * ay, 1e-20)), 88.0)
+    d = jnp.exp(-expo) / jnp.maximum(
+        PI * jnp.maximum(ax * ay, 1e-20) * c2s * c2s, 1e-30)
+    return jnp.where(ok, d, 0.0)
 
 
 def beckmann_lambda(w, ax, ay):
-    abs_tan = jnp.sqrt(tan2_theta(w))
-    alpha = jnp.sqrt(cos_phi(w) ** 2 * ax * ax + sin_phi(w) ** 2 * ay * ay)
+    c2 = cos2_theta(w)
+    ok = c2 > 1e-10
+    t2 = sin2_theta(w) / jnp.where(ok, c2, 1.0)
+    abs_tan = jnp.sqrt(jnp.maximum(t2, 1e-36))
+    alpha = jnp.sqrt(jnp.maximum(
+        cos_phi(w) ** 2 * ax * ax + sin_phi(w) ** 2 * ay * ay, 1e-36))
     a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-20)
     lam = jnp.where(
         a >= 1.6, 0.0,
         (1.0 - 1.259 * a + 0.396 * a * a)
         / jnp.maximum(3.535 * a + 2.181 * a * a, 1e-20))
-    return jnp.where(jnp.isfinite(abs_tan), lam, 0.0)
+    return jnp.where(ok, lam, 0.0)
 
 
 def beckmann_sample_wh(u1, u2, ax, ay):

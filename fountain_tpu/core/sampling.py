@@ -204,3 +204,44 @@ def pdf_distribution_2d(d: Distribution2D, u, v):
     return jnp.where(denom > 0.0,
                      d.cond_func[iv, iu] / jnp.where(denom == 0.0, 1.0, denom),
                      0.0)
+
+
+# --- per-light stacked 2D distributions ------------------------------------
+# The reference builds one Distribution2D PER InfiniteAreaLight
+# (infinite.rs:63-77); a single shared distribution gives a wrong MIS pdf
+# the moment a scene has two env maps. The stack adds a leading slot axis
+# to every array; each lane indexes its own light's distribution.
+
+
+def make_distribution_2d_stack(funcs) -> Distribution2D:
+    """Stack per-light [nv, nu] funcs (all the same shape) into a
+    Distribution2D with leading slot axis: cond_func [S, nv, nu],
+    cond_cdf [S, nv, nu+1], marginal func/cdf [S, nv]/[S, nv+1]."""
+    func = jnp.stack([jnp.asarray(f, Float) for f in funcs])
+    s, nv, nu = func.shape
+    rows = make_distribution_1d(func)          # batched over [S, nv]
+    marginal = make_distribution_1d(rows.func_int)
+    return Distribution2D(rows.func, rows.cdf, rows.func_int, marginal)
+
+
+def sample_distribution_2d_slot(d: Distribution2D, slot, u1, u2):
+    """Per-lane sample of a stacked Distribution2D: ``slot`` [N] picks the
+    light's distribution; returns (u, v, pdf) like sample_distribution_2d."""
+    marg = Distribution1D(d.marginal.func[slot], d.marginal.cdf[slot],
+                          d.marginal.func_int[slot])
+    v, pdf_v, iv = sample_distribution_1d_continuous(marg, u1)
+    cond = Distribution1D(d.cond_func[slot, iv], d.cond_cdf[slot, iv],
+                          d.cond_int[slot, iv])
+    u, pdf_u, _ = sample_distribution_1d_continuous(cond, u2)
+    return u, v, pdf_u * pdf_v
+
+
+def pdf_distribution_2d_slot(d: Distribution2D, slot, u, v):
+    """Pdf of sample_distribution_2d_slot at continuous (u, v)."""
+    nv, nu = d.cond_func.shape[-2:]
+    iu = jnp.clip((u * nu).astype(jnp.int32), 0, nu - 1)
+    iv = jnp.clip((v * nv).astype(jnp.int32), 0, nv - 1)
+    denom = d.marginal.func_int[slot]
+    return jnp.where(denom > 0.0,
+                     d.cond_func[slot, iv, iu]
+                     / jnp.where(denom == 0.0, 1.0, denom), 0.0)

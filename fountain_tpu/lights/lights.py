@@ -24,8 +24,8 @@ import jax.numpy as jnp
 
 from fountain_tpu.core import transform as tf
 from fountain_tpu.core.gather import gather_rows3
-from fountain_tpu.core.sampling import (pdf_distribution_2d,
-                                        sample_distribution_2d,
+from fountain_tpu.core.sampling import (pdf_distribution_2d_slot,
+                                        sample_distribution_2d_slot,
                                         uniform_sample_sphere,
                                         uniform_sample_triangle)
 from fountain_tpu.core.vecmath import (Float, PI, V3, cross, dot, gamma,
@@ -82,7 +82,7 @@ def _light_table(scene: Scene) -> jnp.ndarray:
     gather cost model). Built in-jit so emit stays differentiable.
 
     Layout: 0 ltype | 1:4 emit | 4:7 pos | 7:10 dir | 10 shape_id |
-    11 tri_start | 12 tri_count | 13 env_tex | 14 area | 15 pad
+    11 tri_start | 12 tri_count | 13 env_tex | 14 area | 15 env_slot
     (int fields stored as float VALUES — exact for |v| < 2^24; a bitcast
     of -1 would be 0xFFFFFFFF = NaN, which TPU float transport can
     canonicalize and which poisons NaN debugging — and detached)."""
@@ -90,12 +90,13 @@ def _light_table(scene: Scene) -> jnp.ndarray:
     sg = jax.lax.stop_gradient
     bi = lambda a: sg(a).astype(jnp.float32)
     zeros = jnp.zeros((lt.count,), Float)
+    slot = zeros - 1.0 if lt.env_slot is None else bi(lt.env_slot)
     cols = [bi(lt.ltype),
             lt.emit[:, 0], lt.emit[:, 1], lt.emit[:, 2],
             sg(lt.pos[:, 0]), sg(lt.pos[:, 1]), sg(lt.pos[:, 2]),
             sg(lt.dir[:, 0]), sg(lt.dir[:, 1]), sg(lt.dir[:, 2]),
             bi(lt.shape_id), bi(lt.tri_start), bi(lt.tri_count),
-            bi(lt.env_tex), sg(lt.area), zeros]
+            bi(lt.env_tex), sg(lt.area), slot]
     return jnp.stack(cols, axis=1)
 
 
@@ -147,6 +148,10 @@ class _LightRows:
     @property
     def area(self):
         return self._r[:, 14]
+
+    @property
+    def env_slot(self):
+        return self._ib(15)
 
 
 class LightSample(NamedTuple):
@@ -282,15 +287,17 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
     pdf_u = jnp.full(n, 1.0 / (4.0 * PI), Float)
     rad_u = emit
     if scene.env_dist is not None:
-        # importance-sample the luminance*sin(theta) 2D CDF
-        # (infinite.rs:99-119; pdf /= 2 pi^2 sin(theta))
-        ue, ve, pdf_uv = sample_distribution_2d(scene.env_dist, u1, u2)
+        # importance-sample THIS light's luminance*sin(theta) 2D CDF
+        # (per-light slot, infinite.rs:63-77,99-119; pdf /= 2 pi^2 sin)
+        slot = jnp.maximum(lr.env_slot, 0)
+        ue, ve, pdf_uv = sample_distribution_2d_slot(scene.env_dist, slot,
+                                                     u1, u2)
         wi_e, sin_t = env_uv_to_dir(ue, ve)
         pdf_e = jnp.where(sin_t > 0.0,
                           pdf_uv / (2.0 * PI * PI * jnp.maximum(sin_t, 1e-9)),
                           0.0)
         rad_e = emit * _eval_env_tex(scene, lr.env_tex, ue, ve)
-        has_env = lr.env_tex >= 0
+        has_env = (lr.env_tex >= 0) & (lr.env_slot >= 0)
         wi_u = where3(has_env, wi_e, wi_u)
         pdf_u = jnp.where(has_env, pdf_e, pdf_u)
         rad_u = where3(has_env, rad_e, rad_u)
@@ -415,11 +422,12 @@ def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
         wn = normalize(wi)
         u_env, v_env = dir_to_env_uv(wn)
         sin_t = jnp.sqrt(jnp.maximum(1.0 - wn.z ** 2, 0.0))
-        pdf_uv = pdf_distribution_2d(scene.env_dist, u_env, v_env)
+        slot = jnp.maximum(lr.env_slot, 0)
+        pdf_uv = pdf_distribution_2d_slot(scene.env_dist, slot, u_env, v_env)
         pdf_env = jnp.where(sin_t > 0.0,
                             pdf_uv / (2.0 * PI * PI
                                       * jnp.maximum(sin_t, 1e-9)), 0.0)
-        has_env = lr.env_tex >= 0
+        has_env = (lr.env_tex >= 0) & (lr.env_slot >= 0)
         pdf_inf = jnp.where(has_env, pdf_env, pdf_inf)
     pdf = jnp.where(sel, pdf_inf, pdf)
 

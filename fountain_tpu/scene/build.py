@@ -356,7 +356,8 @@ class SceneBuilder:
                                       jnp.int32),
                 env_tex=jnp.asarray([r["env_tex"] for r in lt], jnp.int32),
                 area=jnp.asarray([r.get("area", 0.0) for r in lt],
-                                 jnp.float32))
+                                 jnp.float32),
+                env_slot=jnp.full((len(lt),), -1, jnp.int32))
         else:
             from fountain_tpu.scene.types import no_lights
             lights = no_lights()
@@ -383,39 +384,61 @@ class SceneBuilder:
         center = (lo + hi) / 2.0
         radius = float(np.linalg.norm(hi - center))
 
-        # image atlas + env-map importance distribution
+        # image atlas + per-light env-map importance distributions
+        # (reference builds one Distribution2D per InfiniteAreaLight,
+        # infinite.rs:63-77; a shared one would give wrong MIS pdfs with
+        # two env maps in a scene)
         atlas = None
         env_dist = None
+        env_slots = {}
         if self._images:
             from fountain_tpu.shading.mipmap import build_atlas
             atlas = build_atlas(self._images, self._image_wraps)
-            env_img_id = self._env_image_id()
-            if env_img_id is not None:
-                from fountain_tpu.core.sampling import make_distribution_2d
-                img = self._images[env_img_id]
-                # luminance * sin(theta) (reference infinite.rs:63-77);
-                # row 0 is the image bottom (v=0) => theta = pi*(1 - v)
-                lum = (0.212671 * img[..., 0] + 0.715160 * img[..., 1]
-                       + 0.072169 * img[..., 2])
-                # Radiance lookups bilerp the map, spreading each texel's
-                # energy over a 2x2-texel tent; convolve the sampling
-                # density with the per-texel tent integrals [1/8, 3/4, 1/8]
-                # so pdf > 0 wherever the bilerped radiance is > 0 (keeps
-                # the light-sampling estimator unbiased even for
-                # delta-texel maps).
-                k = np.array([0.125, 0.75, 0.125], np.float32)
-                pad = np.concatenate(  # wrap in u (azimuthal seam)
-                    [lum[:, -1:], lum, lum[:, :1]], axis=1)
-                lum_u = (k[0] * pad[:, :-2] + k[1] * pad[:, 1:-1]
-                         + k[2] * pad[:, 2:])
-                pad = np.concatenate(  # clamp in v (poles)
-                    [lum_u[:1], lum_u, lum_u[-1:]], axis=0)
-                lum_b = (k[0] * pad[:-2] + k[1] * pad[1:-1] + k[2] * pad[2:])
-                h = img.shape[0]
-                v = (np.arange(h, dtype=np.float32) + 0.5) / h
-                sin_t = np.sin(np.pi * (1.0 - v))
-                env_dist = make_distribution_2d(
-                    jnp.asarray(lum_b * sin_t[:, None], jnp.float32))
+            per_light = self._env_light_images()
+            if per_light:
+                from fountain_tpu.core.sampling import (
+                    make_distribution_2d_stack)
+                funcs = []
+                # common grid: nearest-UPsample every map to the largest
+                # size so the stack shares one shape; replication preserves
+                # each map's support exactly (pdf > 0 wherever L > 0)
+                nv_c = max(self._images[i].shape[0] for _, i in per_light)
+                nu_c = max(self._images[i].shape[1] for _, i in per_light)
+                for slot, (lid, img_id) in enumerate(per_light):
+                    img = self._images[img_id]
+                    # luminance * sin(theta); row 0 is the image bottom
+                    # (v=0) => theta = pi*(1 - v)
+                    lum = (0.212671 * img[..., 0] + 0.715160 * img[..., 1]
+                           + 0.072169 * img[..., 2])
+                    # Radiance lookups bilerp the map, spreading each
+                    # texel's energy over a 2x2-texel tent; convolve the
+                    # sampling density with the per-texel tent integrals
+                    # [1/8, 3/4, 1/8] so pdf > 0 wherever the bilerped
+                    # radiance is > 0 (keeps the light-sampling estimator
+                    # unbiased even for delta-texel maps).
+                    k = np.array([0.125, 0.75, 0.125], np.float32)
+                    pad = np.concatenate(  # wrap in u (azimuthal seam)
+                        [lum[:, -1:], lum, lum[:, :1]], axis=1)
+                    lum_u = (k[0] * pad[:, :-2] + k[1] * pad[:, 1:-1]
+                             + k[2] * pad[:, 2:])
+                    pad = np.concatenate(  # clamp in v (poles)
+                        [lum_u[:1], lum_u, lum_u[-1:]], axis=0)
+                    lum_b = (k[0] * pad[:-2] + k[1] * pad[1:-1]
+                             + k[2] * pad[2:])
+                    h, w = lum_b.shape
+                    if (h, w) != (nv_c, nu_c):
+                        ri = np.minimum((np.arange(nv_c) * h) // nv_c, h - 1)
+                        ci = np.minimum((np.arange(nu_c) * w) // nu_c, w - 1)
+                        lum_b = lum_b[ri][:, ci]
+                    v = (np.arange(nv_c, dtype=np.float32) + 0.5) / nv_c
+                    sin_t = np.sin(np.pi * (1.0 - v))
+                    funcs.append(lum_b * sin_t[:, None])
+                    env_slots[lid] = slot
+                env_dist = make_distribution_2d_stack(funcs)
+        if self._lights and lights.count:
+            lights = lights._replace(env_slot=jnp.asarray(
+                [env_slots.get(i, -1) for i in range(len(self._lights))],
+                jnp.int32))
 
         return Scene(
             spheres=spheres, triangles=triangles, materials=materials,
@@ -424,18 +447,20 @@ class SceneBuilder:
             world_radius=jnp.asarray(max(radius, 1e-3), jnp.float32),
             tri_area_cdf=tri_area_cdf, env_images=atlas, env_dist=env_dist)
 
-    def _env_image_id(self):
-        """Image id backing the first env-mapped infinite light (resolving
-        scale/checker nesting to the underlying TEX_IMAGE), or None."""
-        for r in self._lights:
+    def _env_light_images(self):
+        """[(light_idx, image_id)] for every env-mapped infinite light
+        (resolving scale/checker nesting to the underlying TEX_IMAGE)."""
+        out = []
+        for lid, r in enumerate(self._lights):
             if r["ltype"] == LIGHT_INFINITE and r["env_tex"] >= 0:
                 tid = r["env_tex"]
                 for _ in range(4):
                     row = self._tex[tid]
                     if row["ttype"] == TEX_IMAGE:
-                        return row["image_id"]
+                        out.append((lid, row["image_id"]))
+                        break
                     if row["ttype"] == TEX_SCALE:
                         tid = row["sub_a"]
                         continue
                     break
-        return None
+        return out

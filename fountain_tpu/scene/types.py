@@ -179,6 +179,10 @@ class Lights(NamedTuple):
     tri_count: jnp.ndarray  # [L] int32
     env_tex: jnp.ndarray  # [L] int32 texture id for infinite light radiance map
     area: jnp.ndarray     # [L] total surface area (area lights; else 0)
+    # [L] int32 slot into the stacked per-light env distribution
+    # (Scene.env_dist); -1 = uniform-sphere sampling. The reference builds
+    # one Distribution2D per InfiniteAreaLight (infinite.rs:63-77).
+    env_slot: jnp.ndarray = None
 
     @property
     def count(self) -> int:
@@ -190,7 +194,7 @@ def no_lights() -> Lights:
     zi = jnp.zeros((0,), jnp.int32)
     return Lights(ltype=zi, emit=z3, pos=z3, dir=z3, shape_id=zi,
                   tri_start=zi, tri_count=zi, env_tex=zi,
-                  area=jnp.zeros((0,), jnp.float32))
+                  area=jnp.zeros((0,), jnp.float32), env_slot=zi)
 
 
 # ---------------------------------------------------------------------------
@@ -236,9 +240,10 @@ class Scene(NamedTuple):
     # (normalized inside each light's [tri_start, tri_start+tri_count) range)
     tri_area_cdf: Optional[jnp.ndarray] = None    # [F]
     env_images: Optional[tuple] = None            # shading.mipmap.ImageAtlas
-    # env-map importance sampling (reference infinite.rs:63-77): one
-    # Distribution2D over luminance*sin(theta), shared by every infinite
-    # light that has an image (env_tex >= 0); uniform fallback otherwise
+    # env-map importance sampling (reference infinite.rs:63-77): a STACKED
+    # Distribution2D over luminance*sin(theta) with one slot per env-mapped
+    # infinite light (leading axis S); lights.env_slot maps light -> slot,
+    # -1 = uniform-sphere sampling
     env_dist: Optional[tuple] = None              # core.sampling.Distribution2D
 
     @property

@@ -187,3 +187,63 @@ def test_checker_and_uv_textures_render():
     img = np.asarray(render(scene, _cam(8), 8, 8, 4, cfg))
     assert np.isfinite(img).all()
     assert img.max() > 0.0
+
+
+def test_two_env_lights_per_light_distributions():
+    """Two env-mapped infinite lights with DISJOINT bright texels: each
+    light's sampling estimator E[L/pdf] must match its own quadrature
+    integral. With a single shared distribution (the pre-round-4 bug,
+    reference builds one per light: infinite.rs:63-77) light B would be
+    importance-sampled from light A's CDF — pdf > 0 only where B's map is
+    black — and its estimator collapses to ~0."""
+    from fountain_tpu.core.vecmath import where3, zeros3
+    from fountain_tpu.lights.lights import light_pdf, sample_light
+    from fountain_tpu.shading.mipmap import lookup_trilinear
+
+    img_a = np.zeros((16, 32, 3), np.float32)
+    img_a[12, 5] = 200.0
+    img_b = np.zeros((16, 32, 3), np.float32)
+    img_b[3, 20] = 120.0
+
+    b = SceneBuilder()
+    ia = b.add_image(img_a)
+    ib = b.add_image(img_b)
+    ta = b.add_image_texture(ia)
+    tb = b.add_image_texture(ib)
+    b.add_infinite_light([1.0, 1.0, 1.0], env_tex=ta)
+    b.add_infinite_light([1.0, 1.0, 1.0], env_tex=tb)
+    scene = b.build()
+    assert scene.env_dist is not None
+    assert scene.env_dist.cond_func.shape[0] == 2  # one slot per light
+    slots = np.asarray(scene.lights.env_slot)
+    assert sorted(slots.tolist()) == [0, 1]
+
+    def quadrature(img_id):
+        hq, wq = 16 * 16, 32 * 16
+        vv = (np.arange(hq) + 0.5) / hq
+        uu = (np.arange(wq) + 0.5) / wq
+        ug, vg = np.meshgrid(uu, vv)
+        rad = lookup_trilinear(scene.env_images,
+                               jnp.full(ug.size, img_id, jnp.int32),
+                               jnp.asarray(ug.ravel(), jnp.float32),
+                               jnp.asarray(vg.ravel(), jnp.float32)).stack()
+        theta = np.pi * (1.0 - vg.ravel())
+        dod = (2 * np.pi / wq) * (np.pi / hq) * np.sin(theta)
+        return float((np.asarray(rad)[:, 0] * dod).sum())
+
+    n = 1 << 17
+    u = np.random.default_rng(1).uniform(size=(2, n)).astype(np.float32)
+    ref = zeros3((n,))
+    for light_idx, img_id in ((0, ia), (1, ib)):
+        li = jnp.full((n,), light_idx, jnp.int32)
+        ls = sample_light(scene, li, ref, jnp.asarray(u[0]),
+                          jnp.asarray(u[1]))
+        est = where3(ls.pdf > 0.0,
+                     ls.radiance / jnp.maximum(ls.pdf, 1e-12),
+                     0.0).stack().mean(0)
+        quad = quadrature(img_id)
+        np.testing.assert_allclose(np.asarray(est)[0], quad, rtol=0.05)
+        # pdf query must agree with the sampling pdf for THIS light
+        lp = light_pdf(scene, li, ref, ls.wi)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(ls.pdf),
+                                   rtol=1e-4, atol=1e-6)

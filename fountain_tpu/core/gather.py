@@ -20,16 +20,40 @@ import jax.numpy as jnp
 
 # above this row count the [N, T] one-hot matrix costs more than the scatter
 ONE_HOT_MAX_ROWS = 512
+# tables this small are "gathered" with a select-sum over rows — pure
+# broadcast/where VPU ops that fuse into neighbors, instead of a real
+# gather op. Measured on v5e: a 262k-index row gather costs ~2.3 ms
+# REGARDLESS of table size (latency-bound on the index stream); the
+# round-3 bench step spent ~80% of its 740 ms in ~250 such gathers,
+# most into 1-row material/light tables.
+SELECT_MAX_ROWS = 8
+
+
+def _take_small(table, idx):
+    """table[idx] for tiny tables via select-sum (no gather op)."""
+    if table.shape[0] == 1:
+        return jnp.broadcast_to(
+            table[0], idx.shape + table.shape[1:]).astype(table.dtype)
+    exp = idx.reshape(idx.shape + (1,) * (table.ndim - 1))
+    out = None
+    for m in range(table.shape[0]):
+        row = table[m]
+        term = jnp.where(exp == m, row, 0).astype(table.dtype)
+        out = term if out is None else out + term
+    return out
 
 
 @functools.lru_cache(maxsize=None)
 def _make_gather(t_rows: int):
+    take = _take_small if t_rows <= SELECT_MAX_ROWS else \
+        (lambda table, idx: table[idx])
+
     @jax.custom_vjp
     def f(table, idx):
-        return table[idx]
+        return take(table, idx)
 
     def fwd(table, idx):
-        return table[idx], idx
+        return take(table, idx), idx
 
     def bwd(idx, g):
         flat_idx = idx.reshape(-1)
@@ -51,8 +75,17 @@ def _make_gather(t_rows: int):
 
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``table[idx]`` with a dense (one-hot matmul) backward for small
-    tables. table: [T, ...C]; idx: int [...N]; returns [...N, ...C]."""
-    return _make_gather(table.shape[0])(table, idx)
+    tables. table: [T, ...C]; idx: int [...N]; returns [...N, ...C].
+
+    Tables with <= SELECT_MAX_ROWS rows are fetched with fusable
+    select-sums instead of a gather op (see above). Larger tables' rows
+    are tagged as ``rows`` remat residuals so a `jax.checkpoint` policy
+    that saves the name skips re-gathering in the backward pass."""
+    out = _make_gather(table.shape[0])(table, idx)
+    if table.shape[0] > SELECT_MAX_ROWS:
+        from jax.ad_checkpoint import checkpoint_name
+        out = checkpoint_name(out, "rows")
+    return out
 
 
 def gather_rows3(table: jnp.ndarray, idx: jnp.ndarray):
@@ -71,7 +104,9 @@ def gather_rows3(table: jnp.ndarray, idx: jnp.ndarray):
 
 def take3(table: jnp.ndarray, idx: jnp.ndarray):
     """Non-custom-vjp variant of gather_rows3 for large tables (atlas
-    texels): a row gather with the default scatter-add backward."""
+    texels): a row gather with the default scatter-add backward. Rows are
+    tagged as ``rows`` remat residuals (see gather_rows)."""
+    from jax.ad_checkpoint import checkpoint_name
     from fountain_tpu.core.vecmath import V3
-    r = table[idx]
+    r = checkpoint_name(table[idx], "rows")
     return V3(r[..., 0], r[..., 1], r[..., 2])

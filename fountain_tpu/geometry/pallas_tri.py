@@ -14,12 +14,13 @@ Round-3 redesign, driven by measurement on TPU v5e (see BASELINE.md):
 - Faces arrive in LBVH leaf order (geometry.bvh.attach_bvh), so
   contiguous 128-face blocks are spatially tight. Each ray tile runs ONE
   vectorized [BN, n_blocks] slab pre-cull (every ray against every block
-  AABB — ~25 VPU ops per pair, ~2 us/tile) and packs the per-block
-  verdicts into per-superblock bitmask words; the traversal loop then
-  costs one scalar bit test per block instead of a vector slab + scalar
-  sync each. The previous per-block [BN, 1] slab chain was 13 ms/sweep of
-  pure walk overhead ([BN, 1] shapes pad 128x on the TPU lane axis — the
-  measured cost of "scalarish" wavefront code).
+  AABB — ~25 VPU ops per pair, ~2 us/tile) producing per-block
+  candidate-ray counts plus each block's earliest slab-entry distance;
+  the traversal loop then costs one scalar count test (plus a
+  front-to-back entry-distance gate) per block instead of a vector slab
+  + scalar sync each. The previous per-block [BN, 1] slab chain was
+  13 ms/sweep of pure walk overhead ([BN, 1] shapes pad 128x on the TPU
+  lane axis — the measured cost of "scalarish" wavefront code).
 - The 4 Möller-Trumbore quantities are ONE MXU dot per block:
   [BN, 96] @ [96, 4*BC] against a quantity-interleaved table, then
   static column slices — 4x fewer MXU issues.
@@ -62,7 +63,7 @@ from fountain_tpu.geometry.tensor_tri import REL_EPS
 
 BN = 1024    # rays per grid tile
 BC = 128     # faces per leaf block (one MXU sweep [BN,96]@[96,512])
-SB = 1024    # faces per superblock (8 blocks = one bitmask word)
+SB = 1024    # faces per superblock (8 blocks share one early-out cond)
 CHUNK = 8192  # max faces resident per outer grid step (bf16 table ~6.3 MiB)
 _K = 16      # padded ray-feature depth (10 used)
 _K6 = 6 * _K  # six bf16x6 cross terms folded into the contraction axis
@@ -93,9 +94,11 @@ def pack_features_pallas(tri_verts: np.ndarray):
     nblk = CH/BC. feat block c holds the quantity-interleaved columns
     [det | u_num | v_num | t_num] × BC at offset 4*BC*c, so one MXU dot
     yields all four Möller-Trumbore quantities. aabbT rows are
-    (xmin, ymin, zmin, xmax, ymax, zmax, 0, 0) — transposed for the
-    vectorized [BN, nblk] pre-cull. Empty padding blocks get inverted
-    AABBs (min > max) so the cull always rejects them.
+    (xmin, ymin, zmin, xmax, ymax, zmax, valid, 0) — transposed for the
+    vectorized [BN, nblk] pre-cull. Row 6 is an explicit validity flag
+    (1 = real faces, 0 = padding): the slab test's min/max sort would
+    de-invert an inverted-AABB convention, so padding blocks are masked
+    via this flag in _precull instead.
     """
     tv = np.asarray(tri_verts, np.float64)
     v0 = tv[:, 0]
@@ -130,13 +133,12 @@ def pack_features_pallas(tri_verts: np.ndarray):
     tvf = np.asarray(tri_verts, np.float32)
     nblk = ch // BC
     aabb = np.zeros((s_blocks, nblk, 8), np.float32)
-    aabb[..., 0:3] = 1.0
-    aabb[..., 3:6] = -1.0                 # empty: min > max, never hit
     for b in range(-(-max(f, 1) // BC)):
         blk = tvf[b * BC:(b + 1) * BC].reshape(-1, 3)
         if len(blk):
             aabb[b // nblk, b % nblk, 0:3] = blk.min(0)
             aabb[b // nblk, b % nblk, 3:6] = blk.max(0)
+            aabb[b // nblk, b % nblk, 6] = 1.0   # validity flag
     aabbT = np.ascontiguousarray(aabb.transpose(0, 2, 1))  # [S, 8, nblk]
     return jnp.asarray(feat), jnp.asarray(aabbT)
 
@@ -175,12 +177,12 @@ def _ray_setup(aux):
 def _precull(aux, aabbT_ref, t_cap):
     """Vectorized slab test of every ray in the tile against every block
     AABB: one [BN, nblk] computation instead of nblk scalar-synced [BN,1]
-    chains. Returns per-superblock bitmask words [nsb] int32 (bit c set =
-    some ray can hit block 8*b+c within (0, t_cap)), conservative 1e-4
-    relative expansion on t_far."""
+    chains. Returns (cnt [nblk] int32, tn_blk [nblk] f32): per-block
+    candidate-ray counts and the earliest slab entry distance of any
+    candidate ray; the walk reads both with static extracts (see the
+    comment below). Conservative 1e-4 relative expansion on t_far;
+    padding blocks are rejected via the aabbT row-6 validity flag."""
     nblk = aabbT_ref.shape[-1]
-    nsb = nblk // 8
-    can = None
     t_near = None
     t_far = None
     for a in range(3):
@@ -196,7 +198,9 @@ def _precull(aux, aabbT_ref, t_cap):
         t_near = lo if t_near is None else jnp.maximum(t_near, lo)
         t_far = hi if t_far is None else jnp.minimum(t_far, hi)
     t_far = t_far * 1.0001
-    can = (t_near <= t_far) & (t_far > 0.0) & (t_near < t_cap[:, 0:1])
+    valid_blk = aabbT_ref[0, 6, :][None, :] > 0.0   # [1, nblk]
+    can = ((t_near <= t_far) & (t_far > 0.0) & (t_near < t_cap[:, 0:1])
+           & valid_blk)
     # per-block candidate-ray count [nblk] int32 plus the earliest entry
     # distance of any candidate ray [nblk] f32; scalar tests in the walk
     # read both with STATIC extracts (Mosaic supports neither dynamic
@@ -447,6 +451,17 @@ def mt_intersect_pallas(qdata, o: V3, d: V3, t_max,
     sorts dead lanes last and lets trailing ray tiles skip all work
     (wavefront occupancy; the analog of the reference's per-lane break,
     path.rs:84-91).
+
+    any_hit=True returns sentinels in the first two tuple slots —
+    t = 0/inf and idx = 0/-1 encode only hit/miss, NOT the real hit
+    t/index (unlike tensor_tri.mt_intersect's any-hit mode); consume only
+    the boolean third element.
+
+    VMEM ceiling: each grid step keeps the whole [n_tiles, BN] output
+    slab(s) resident alongside the ~6.3 MiB feature chunk; waves beyond
+    ~0.5M rays may exceed the 16 MiB v5e VMEM budget. Callers tile the
+    wavefront (render drives <= 512x512 lanes per wave) rather than
+    growing n.
     """
     qfeat, qaabbT = qdata
     n = o.shape[0]

@@ -57,6 +57,13 @@ from fountain_tpu.shading.bsdf import (bsdf_f_pdf, bsdf_sample,
 # (stop_gradient) to bisect NaN sources; empty in production
 _DBG_SG = set()
 
+# named residuals saved across the bounce-scan remat (see trace_paths):
+# "isect" = raw intersection sweep results, "nee" = the per-bounce NEE
+# contribution, "rows" = gathered table rows (a 262k-index row gather is
+# ~2.3 ms on v5e regardless of width — saving beats re-gathering),
+# "shade" = shading params
+_CKPT_SAVE_NAMES = ("isect", "nee", "rows", "shade")
+
 
 def _dbg(name, x):
     if name in _DBG_SG:
@@ -258,6 +265,11 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
         st["cone_width"] = jnp.where(alive, width_at_hit, st["cone_width"])
 
         sp = gather_shading(scene, hit, tex_width=tex_width)
+        # tag shading params as nameable remat residuals ("shade"); whether
+        # they are saved is decided by _CKPT_SAVE_NAMES
+        from jax.ad_checkpoint import checkpoint_name as _cn_
+        sp = jax.tree.map(
+            lambda x: _cn_(x, "shade") if x.dtype == jnp.float32 else x, sp)
         null_bsdf = alive & (sp.mtype < 0)
 
         # --- NEE (path.rs:60-64) on lanes with non-specular lobes.
@@ -278,6 +290,13 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
                 scene, hit, sp, light_idx, n_lights,
                 (u_sel[1], u_sel[2]), (u_sc[0], u_sc[1], u_sc[2]), detach,
                 bsdf_branch=(cfg.mode != "path"), active=nee_on)
+            # save the NEE result as a remat residual: recomputing the NEE
+            # block (light sampling + shadow-sweep plumbing + masked
+            # all-lobes eval) in the backward pass measured ~500 ms of the
+            # 773 ms round-3 step — 3 [N] f32 saves per bounce buy it out
+            from jax.ad_checkpoint import checkpoint_name as _cn
+            direct = V3(_cn(direct.x, "nee"), _cn(direct.y, "nee"),
+                        _cn(direct.z, "nee"))
             st["radiance"] = st["radiance"] + _dbg("nee", where3(
                 nee_on, st["beta"] * direct * jnp.float32(n_lights), 0.0))
             if count_rays:  # shadow ray per NEE lane (+MIS ray in direct)
@@ -378,7 +397,8 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
         # (o, d, cone, prev_pdf) are detached on entry so the tangent graph
         # never extends into sampled positions/directions.
         import functools as _ft
-        _policy = jax.checkpoint_policies.save_only_these_names("isect")
+        _policy = jax.checkpoint_policies.save_only_these_names(
+            *_CKPT_SAVE_NAMES)
         _geo = ("ox", "oy", "oz", "dx", "dy", "dz", "cone_width", "prev_pdf")
 
         @_ft.partial(jax.checkpoint, policy=_policy)

@@ -335,33 +335,45 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
         n_light = where3(sel, n_s, n_light)
 
     # --- diffuse area light on a triangle mesh (diffuse.rs:74-90 +
-    # Triangle::sample triangle.rs:395-420): face chosen ∝ area via the
-    # per-light CDF, uniform barycentric point, pdf = d²/(|cosθ|·totalArea)
+    # Triangle::sample triangle.rs:395-420): face chosen ∝ area via a
+    # per-light O(1) alias table, uniform barycentric point,
+    # pdf = d²/(|cosθ|·totalArea). TWO [N, 16] row gathers of the packed
+    # light_tri table (original face order — independent of the BVH leaf
+    # reorder) replace the 21-gather CDF bisection + 7 vertex/flag gathers.
     sel = ltype == LIGHT_AREA_TRI
-    if scene.triangles.count > 0 and scene.tri_area_cdf is not None:
-        tris = scene.triangles
+    if scene.triangles.count > 0 and scene.light_tri is not None:
+        from jax.ad_checkpoint import checkpoint_name
         start = lr.tri_start
         count = jnp.maximum(lr.tri_count, 1)
-        face = _search_cdf_range(scene.tri_area_cdf, u1, start, count)
-        i0, i1, i2 = (tris.indices[face, 0], tris.indices[face, 1],
-                      tris.indices[face, 2])
-        gp = lambda i: V3(tris.positions[i, 0], tris.positions[i, 1],
-                          tris.positions[i, 2])
-        p0, p1, p2 = gp(i0), gp(i1), gp(i2)
-        # re-derive the barycentric u from the CDF remainder so the pair
-        # (u1, u2) gives a well-stratified point: use (u2, u1') with u1'
-        # the within-face residual
-        c_lo = jnp.where(face > start, scene.tri_area_cdf[face - 1], 0.0)
-        c_hi = scene.tri_area_cdf[face]
-        resid = jnp.clip((u1 - c_lo)
-                         / jnp.maximum(c_hi - c_lo, 1e-12), 0.0, 1.0)
+        f0 = u1 * count.astype(Float)
+        k = jnp.clip(f0.astype(jnp.int32), 0, count - 1)
+        frac = jnp.clip(f0 - k.astype(Float), 0.0, 1.0 - 1e-7)
+        j0 = start + k
+        row0 = checkpoint_name(scene.light_tri[j0], "rows")
+        prob = row0[:, 0]
+        take_alias = frac >= prob
+        face = jnp.where(take_alias,
+                         jax.lax.stop_gradient(row0[:, 1]).astype(jnp.int32),
+                         j0)
+        row = jnp.where(take_alias[:, None],
+                        checkpoint_name(scene.light_tri[face], "rows"), row0)
+        # remap the within-cell residual to a fresh uniform
+        resid = jnp.where(
+            take_alias,
+            (frac - prob) / jnp.maximum(1.0 - prob, 1e-12),
+            frac / jnp.maximum(prob, 1e-12))
+        resid = jnp.clip(resid, 0.0, 1.0)
+        p0 = V3(row[:, 2], row[:, 3], row[:, 4])
+        p1 = V3(row[:, 5], row[:, 6], row[:, 7])
+        p2 = V3(row[:, 8], row[:, 9], row[:, 10])
+        flip_t = row[:, 11] > 0.5
         b0, b1 = uniform_sample_triangle(resid, u2)
         b2 = 1.0 - b0 - b1
         p_t = p0 * b0 + p1 * b1 + p2 * b2
         p_t_err = ((p0 * b0).abs() + (p1 * b1).abs()
                    + (p2 * b2).abs()) * gamma(6)
         n_t = normalize(cross(p1 - p0, p2 - p0))
-        n_t = where3(tris.flip_normal[face], -n_t, n_t)
+        n_t = where3(flip_t, -n_t, n_t)
         d_t = p_t - ref_p
         d2 = jnp.maximum(dot(d_t, d_t), 1e-20)
         wi_t = d_t * (1.0 / jnp.sqrt(d2))
@@ -382,20 +394,6 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
     return LightSample(radiance=radiance, wi=wi, pdf=pdf, p_light=p_light,
                        p_light_err=p_light_err, n_light=n_light,
                        is_delta=is_delta, is_infinite=is_infinite)
-
-
-def _search_cdf_range(cdf: jnp.ndarray, u, lo, n):
-    """First index f in [lo, lo+n) with cdf[f] >= u, via bounded bisection
-    (traced bounds; 21 static steps supports 2M faces per light)."""
-    lo_i = jnp.broadcast_to(lo, u.shape).astype(jnp.int32)
-    hi_i = (lo_i + jnp.broadcast_to(n, u.shape) - 1).astype(jnp.int32)
-    lo0, hi0 = lo_i, hi_i
-    for _ in range(21):
-        mid = (lo_i + hi_i) // 2
-        go_right = cdf[mid] < u
-        lo_i = jnp.where(go_right, mid + 1, lo_i)
-        hi_i = jnp.where(go_right, hi_i, mid)
-    return jnp.clip(lo_i, lo0, hi0)
 
 
 def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,

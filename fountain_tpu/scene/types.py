@@ -207,7 +207,8 @@ class Scene(NamedTuple):
 
     ``world_center``/``world_radius`` are the scene bounding sphere used by
     infinite/distant lights (reference src/light/infinite.rs:93-97).
-    ``tri_area_cdf`` holds, per area-tri-light, prefix sums for face sampling.
+    ``light_tri`` holds the packed per-face alias table for mesh-light
+    face sampling (see its field comment).
     BVH arrays are attached by fountain_tpu.geometry.bvh once built.
     """
     spheres: Spheres
@@ -236,9 +237,15 @@ class Scene(NamedTuple):
     # packed per-face hit attributes [F,32] (geometry.triangle
     # build_tri_attr): one row gather per hit instead of ~8 indirect ones
     tri_attr: Optional[jnp.ndarray] = None
-    # per-face within-light cumulative-area CDF for AREA_TRI sampling
-    # (normalized inside each light's [tri_start, tri_start+tri_count) range)
-    tri_area_cdf: Optional[jnp.ndarray] = None    # [F]
+    # packed per-face light-sampling table for AREA_TRI lights, in the
+    # ORIGINAL face order (independent of the BVH leaf reorder; lights
+    # address faces by contiguous [tri_start, tri_start+tri_count) range).
+    # Row: 0 alias prob | 1 alias index (float) | 2:11 p0p1p2 | 11 flip |
+    # 12:16 pad. Alias sampling = O(1): TWO row gathers per lane replace
+    # the 21-gather CDF bisection (reference Distribution1D,
+    # sampling.rs:59-135). None when the scene has no mesh area light —
+    # that staticness gates the whole AREA_TRI branch out of the trace.
+    light_tri: Optional[jnp.ndarray] = None       # [F, 16]
     env_images: Optional[tuple] = None            # shading.mipmap.ImageAtlas
     # env-map importance sampling (reference infinite.rs:63-77): a STACKED
     # Distribution2D over luminance*sin(theta) with one slot per env-mapped

@@ -67,3 +67,48 @@ def test_pallas_any_hit_and_t_cap():
     _, _, ok1 = mt_intersect_pallas(qdata, _v3(o), _v3(d), t_max,
                                     any_hit=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+
+
+def test_pallas_multi_superblock():
+    """F > SB (1024): the superblock walk crosses superblock boundaries
+    and the face-index offset c*BC + j must stay consistent."""
+    from fountain_tpu.geometry.pallas_tri import SB
+    tv = _random_mesh(SB + 3 * BC + 17, seed=7)
+    qdata = pack_features_pallas(tv)
+    feat = build_tri_features(tv)
+    n = BN
+    o, d = _random_rays(n, seed=8)
+    t_max = jnp.full((n,), jnp.inf, jnp.float32)
+    t0, i0, ok0 = mt_intersect(feat, o, d, t_max)
+    t1, i1, ok1 = mt_intersect_pallas(qdata, _v3(o), _v3(d), t_max,
+                                      interpret=True)
+    ok0, ok1, t0, t1, i0, i1 = map(np.asarray, (ok0, ok1, t0, t1, i0, i1))
+    assert ok0.sum() > 50
+    np.testing.assert_array_equal(ok0, ok1)
+    m = ok0
+    # bf16x6 vs f32 tensor path: backend-noise tolerance (~1e-5 rel)
+    np.testing.assert_allclose(t0[m], t1[m], rtol=3e-5, atol=1e-5)
+    np.testing.assert_array_equal(i0[m], i1[m])
+
+
+def test_pallas_multi_chunk():
+    """F > CHUNK (8192): multiple outer grid steps (s_blocks > 1) — the
+    quantity-interleave chunk reshape, the cross-chunk face-index offset
+    s*ch + c*BC + j, and the XLA cross-chunk argmin all engage."""
+    from fountain_tpu.geometry.pallas_tri import CHUNK
+    tv = _random_mesh(CHUNK + 2 * BC + 5, seed=9, spread=14.0)
+    qdata = pack_features_pallas(tv)
+    assert qdata[0].shape[0] == 2  # two resident chunks
+    feat = build_tri_features(tv)
+    n = BN
+    o, d = _random_rays(n, seed=10, spread=16.0)
+    t_max = jnp.full((n,), jnp.inf, jnp.float32)
+    t0, i0, ok0 = mt_intersect(feat, o, d, t_max)
+    t1, i1, ok1 = mt_intersect_pallas(qdata, _v3(o), _v3(d), t_max,
+                                      interpret=True)
+    ok0, ok1, t0, t1, i0, i1 = map(np.asarray, (ok0, ok1, t0, t1, i0, i1))
+    assert ok0.sum() > 100
+    np.testing.assert_array_equal(ok0, ok1)
+    m = ok0
+    np.testing.assert_allclose(t0[m], t1[m], rtol=3e-5, atol=1e-5)
+    np.testing.assert_array_equal(i0[m], i1[m])

@@ -59,12 +59,64 @@ def build_scene(res):
     return scene, cam
 
 
+def kernel_gate(scene):
+    """On-TPU kernel correctness gate (round-4 task 9): the Pallas sweep
+    must agree with the XLA tensor path on a camera-ray batch, and the
+    100k-interior-ray watertight check must show zero leaks. Raises on
+    failure so the driver's bench run fails loudly after any kernel
+    regression."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from fountain_tpu.core.vecmath import V3
+    from fountain_tpu.geometry.pallas_tri import mt_intersect_pallas
+    from fountain_tpu.geometry.tensor_tri import mt_intersect
+
+    if jax.devices()[0].platform != "tpu" or scene.tri_qfeat is None:
+        return "skipped (no tpu)"
+    n = 4096
+    rng = np.random.default_rng(7)
+    o = rng.uniform(-25, 25, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ov = V3(*[jnp.asarray(o[:, k]) for k in range(3)])
+    dv = V3(*[jnp.asarray(d[:, k]) for k in range(3)])
+    cap = jnp.full((n,), jnp.inf, jnp.float32)
+    t0, i0, ok0 = map(np.asarray,
+                      mt_intersect(scene.tri_features, jnp.asarray(o),
+                                   jnp.asarray(d), cap))
+    t1, i1, ok1 = map(np.asarray,
+                      mt_intersect_pallas(scene.tri_qfeat, ov, dv, cap))
+    if (ok0 != ok1).any():
+        raise AssertionError(
+            f"kernel gate: {int((ok0 != ok1).sum())} hit/miss mismatches "
+            "between pallas and tensor paths")
+    m = ok0
+    rel = np.abs(t0[m] - t1[m]) / np.maximum(t0[m], 1e-9)
+    if m.any() and rel.max() > 5e-5:
+        raise AssertionError(f"kernel gate: t rel err {rel.max():.2e}")
+    # interior watertight: every ray from inside the closed mesh must hit
+    nw = 100_000
+    dirs = rng.normal(size=(nw, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    ow = V3(jnp.zeros(nw), jnp.zeros(nw), jnp.zeros(nw))
+    dw = V3(*[jnp.asarray(dirs[:, k]) for k in range(3)])
+    _, _, okw = mt_intersect_pallas(scene.tri_qfeat, ow, dw,
+                                    jnp.full((nw,), jnp.inf, jnp.float32))
+    leaks = int(nw - np.asarray(okw).sum())
+    if leaks:
+        raise AssertionError(f"kernel gate: {leaks} leaked rays / {nw}")
+    return "ok"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
                     help="measure on the CPU backend (baseline proxy)")
     ap.add_argument("--res", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--no-gate", action="store_true",
+                    help="skip the on-TPU kernel correctness gate")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -129,7 +181,12 @@ def main():
     jax.block_until_ready((loss, grad))
     dt = time.time() - t0
 
+    gate = "skipped"
+    if not args.no_gate and not args.cpu:
+        gate = kernel_gate(scene)  # raises (bench fails loudly) on regress
+
     rays_per_s = n_timed * rays_per_wave / dt
+    occupancy = rays_per_wave / (n * (MAX_DEPTH + 1))
     print(json.dumps({
         "metric": "rays_per_s_fwd_bwd",
         "value": round(rays_per_s, 1),
@@ -138,7 +195,8 @@ def main():
     }))
     print(f"# device={jax.devices()[0].platform} res={res} depth={MAX_DEPTH} "
           f"rays/wave={rays_per_wave} steps={n_timed} dt={dt:.3f}s "
-          f"loss={float(loss):.5f}", file=sys.stderr)
+          f"loss={float(loss):.5f} lane_occupancy={occupancy:.3f} "
+          f"kernel_gate={gate}", file=sys.stderr)
     return 0
 
 

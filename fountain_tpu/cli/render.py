@@ -25,6 +25,10 @@ def main(argv=None) -> int:
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--devices", type=int, default=1,
                     help="shard the render across N devices")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler (xprof) trace of the "
+                         "render into DIR (reference tracing hooks: "
+                         "src/bin/render.rs:35-36)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -68,7 +72,16 @@ def main(argv=None) -> int:
                                 seed=jnp.int32(args.seed))
 
     t0 = time.time()
-    img = np.asarray(jax.block_until_ready(img_fn()))
+    if args.profile:
+        jax.block_until_ready(img_fn())  # compile outside the trace
+        t0 = time.time()
+        with jax.profiler.trace(args.profile):
+            img = np.asarray(jax.block_until_ready(img_fn()))
+        print(f"profile trace written to {args.profile} "
+              "(inspect with tools/profile_trace2.py <dir>)",
+              file=sys.stderr)
+    else:
+        img = np.asarray(jax.block_until_ready(img_fn()))
     dt = time.time() - t0
     n_paths = st.xres * st.yres * spp
     print(f"Completed rendering in {dt:.2f} s "

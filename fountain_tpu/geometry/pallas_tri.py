@@ -483,12 +483,16 @@ def mt_intersect_pallas(qdata, o: V3, d: V3, t_max,
          jnp.broadcast_to(o.z, shape), jnp.broadcast_to(d.x, shape),
          jnp.broadcast_to(d.y, shape), jnp.broadcast_to(d.z, shape),
          t_cap, jnp.zeros_like(t_cap)], axis=-1)
-    perm = None
+    perm = inv_perm = None
     if (sort or active is not None) and n > BN:
         key = sort_keys(o, d)
         if active is not None:
             key = jnp.where(active, key, jnp.int32(2**31 - 1))
         perm = jnp.argsort(key)
+        # inverse permutation: unsorting becomes a row GATHER instead of a
+        # row scatter (a 262k scatter measured ~1.2 ms vs ~0.2 ms for the
+        # gather + ~0.25 ms for this extra argsort on v5e)
+        inv_perm = jnp.argsort(perm)
         aux = aux[perm]                     # one [N, 8] row gather
     if active is None:
         n_active = jnp.full((1,), npad, jnp.int32)
@@ -500,24 +504,25 @@ def mt_intersect_pallas(qdata, o: V3, d: V3, t_max,
     if any_hit:
         occ = _sweep(n_active, aux, qfeat, qaabbT, t_eps=t_eps,
                      any_hit=True, interpret=interpret)
-        occ = occ[:n]
         if perm is not None:
-            occ = jnp.zeros_like(occ).at[perm].set(occ)
+            occ = occ.astype(jnp.int32)[inv_perm] != 0  # gather-unsort
+        occ = occ[:n]
         t = jnp.where(occ, 0.0, jnp.inf)
         return t, jnp.where(occ, 0, -1), occ
     t, idx = _sweep(n_active, aux, qfeat, qaabbT, t_eps=t_eps,
                     interpret=interpret)
-    t = t[:n]
-    idx = idx[:n]
     if perm is not None:
-        # unsort via ONE row scatter of the packed (t, idx) pair. The pair
-        # travels as int32 (t bitcast): f32 transport would NaN-canonicalize
-        # idx = -1 (0xFFFFFFFF) on TPU and turn misses into hits.
+        # unsort via ONE row GATHER with the inverse permutation of the
+        # packed (t, idx) pair. The pair travels as int32 (t bitcast):
+        # f32 transport would NaN-canonicalize idx = -1 (0xFFFFFFFF) on
+        # TPU and turn misses into hits.
         pair = jnp.stack([jax.lax.bitcast_convert_type(t, jnp.int32), idx],
-                         axis=-1)           # [N, 2] i32
-        out = jnp.zeros_like(pair).at[perm].set(pair)
+                         axis=-1)           # [Npad, 2] i32
+        out = pair[inv_perm]
         t = jax.lax.bitcast_convert_type(out[:, 0], jnp.float32)
         idx = out[:, 1]
+    t = t[:n]
+    idx = idx[:n]
     found = idx >= 0
     idx = jnp.maximum(idx, 0)
     return jnp.where(found, t, jnp.inf), idx, found

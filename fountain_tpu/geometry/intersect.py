@@ -232,7 +232,8 @@ def miss_hit(o: V3, d: V3) -> Hit:
                inv_uv_scale=z)
 
 
-def scene_intersect(scene: Scene, o_w, d_w, t_max, active=None) -> Hit:
+def scene_intersect(scene: Scene, o_w, d_w, t_max, active=None,
+                    sort: bool = True) -> Hit:
     """Closest-hit over all primitive tables (reference Scene::intersect,
     src/scene/mod.rs:51-53). Currently spheres + triangles brute-force; BVH
     traversal replaces the triangle path once built (geometry.bvh).
@@ -275,7 +276,8 @@ def scene_intersect(scene: Scene, o_w, d_w, t_max, active=None) -> Hit:
         if scene.tri_qfeat is not None and _use_pallas():
             from fountain_tpu.geometry.pallas_tri import mt_intersect_pallas
             t_t, idx_t, ok_t = mt_intersect_pallas(scene.tri_qfeat, o_w, d_w,
-                                                   cap, active=active)
+                                                   cap, active=active,
+                                                   sort=sort)
         elif scene.tri_features is not None:
             from fountain_tpu.geometry.tensor_tri import mt_intersect
             oa, da = arrays()

@@ -211,11 +211,16 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
     # the new-estimator MIS gather applies on path-mode NEE bounces
     nee_gather = cfg.nee and n_lights > 0 and cfg.mode == "path"
 
-    def bounce_body(bounce, st):
+    def bounce_body(bounce, st, first: bool = False):
         ro = V3(st["ox"], st["oy"], st["oz"])
         rd = V3(st["dx"], st["dy"], st["dz"])
         t_max = jnp.where(st["active"], jnp.inf, -1.0)
-        hit = scene_intersect(scene, ro, rd, t_max, active=st["active"])
+        # bounce 0 (static `first` under the unrolled loop): camera rays
+        # are already pixel-coherent and every lane is live — the Morton
+        # sort/permutation plumbing is pure overhead there
+        hit = scene_intersect(scene, ro, rd, t_max,
+                              active=None if first else st["active"],
+                              sort=not first)
         if count_rays:
             st["n_rays"] = st["n_rays"] + jnp.sum(
                 st["active"].astype(st["n_rays"].dtype))
@@ -401,30 +406,39 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
             *_CKPT_SAVE_NAMES)
         _geo = ("ox", "oy", "oz", "dx", "dy", "dz", "cone_width", "prev_pdf")
 
-        @_ft.partial(jax.checkpoint, policy=_policy)
-        def scan_body(carry, bounce):
+        @_ft.partial(jax.checkpoint, policy=_policy, static_argnums=(2,))
+        def scan_body(carry, bounce, first=False):
             st = dict(carry)
             if detach_sampling:
                 for k in _geo:
                     st[k] = jax.lax.stop_gradient(st[k])
-            st = bounce_body(bounce, st)
+            st = bounce_body(bounce, st, first=first)
             return st, None
 
-        if "unroll" in _DBG_SG:      # debug: python loop instead of scan
+        from fountain_tpu.geometry.intersect import _use_pallas
+        unroll = _use_pallas() and "scan" not in _DBG_SG
+        if "nockpt" in _DBG_SG:      # debug: no remat
             for b in range(cfg.max_depth + 1):
-                state, _ = scan_body(state, jnp.int32(b))
-        elif "nockpt" in _DBG_SG:    # debug: scan without remat
-            def scan_body_nc(carry, bounce):
-                st = dict(carry)
+                st = dict(state)
                 if detach_sampling:
                     for k in _geo:
                         st[k] = jax.lax.stop_gradient(st[k])
-                return bounce_body(bounce, st), None
-            state, _ = jax.lax.scan(scan_body_nc, state,
-                                    jnp.arange(cfg.max_depth + 1))
+                state = bounce_body(jnp.int32(b), st, first=(b == 0))
+        elif unroll:
+            # unrolled bounce loop on TPU (depth is small and static): no
+            # scan carry slicing/DUS plumbing, no while-step dispatch
+            # overhead (~20 ms/step at 512^2), and bounce 0 gets the
+            # static sort-skip. Each iteration is still jax.checkpoint'd
+            # with the named-residual policy, so backward memory matches
+            # the scan. CPU (tests, virtual-mesh dryrun) keeps the scan:
+            # compiling the body once instead of depth+1 times keeps the
+            # suite's compile times sane, and `sort` only affects the
+            # TPU pallas path anyway.
+            for b in range(cfg.max_depth + 1):
+                state, _ = scan_body(state, jnp.int32(b), b == 0)
         else:
-            state, _ = jax.lax.scan(scan_body, state,
-                                    jnp.arange(cfg.max_depth + 1))
+            state, _ = jax.lax.scan(lambda c, b: scan_body(c, b, False),
+                                    state, jnp.arange(cfg.max_depth + 1))
     else:
         state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce_body, state)
     if count_rays:

@@ -159,9 +159,13 @@ def main():
         _, n_rays = wave_radiance(scene, seed, True)
         return n_rays
 
-    # the timed differentiable step: fwd + bwd w.r.t. texture params
+    # the timed differentiable step: fwd + bwd w.r.t. texture params.
+    # The scene is CLOSED OVER (not a jit argument): scene tables are
+    # step-invariant, and passing them as runtime parameters was measured
+    # 5x slower on v5e (argument tables lose the constant memory-space
+    # placement the gather fusions rely on).
     @jax.jit
-    def step(tex_value, scene, seed):
+    def step(tex_value, seed):
         def loss_fn(tv):
             s = scene._replace(textures=scene.textures._replace(value=tv))
             radiance = wave_radiance(s, seed, False)
@@ -172,12 +176,12 @@ def main():
 
     tv = scene.textures.value
     # warmup / compile
-    loss, grad = step(tv, scene, jnp.int32(0))
+    loss, grad = step(tv, jnp.int32(0))
     jax.block_until_ready((loss, grad))
 
     t0 = time.time()
     for i in range(n_timed):
-        loss, grad = step(tv, scene, jnp.int32(i + 1))
+        loss, grad = step(tv, jnp.int32(i + 1))
     jax.block_until_ready((loss, grad))
     dt = time.time() - t0
 

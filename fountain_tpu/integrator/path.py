@@ -186,6 +186,15 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
     n_lights = scene.lights.count
     detach = jax.lax.stop_gradient if detach_sampling else (lambda x: x)
 
+    # materialize the camera rays ONCE: without the barrier XLA freely
+    # duplicates the whole ray-generation chain (counter-RNG hash + camera
+    # transforms) into every consumer fusion — measured 660 ms/step of
+    # recompute at 512^2 when rays are traced in-jit values (the bench /
+    # render_wave path) instead of jit arguments
+    o, d = jax.lax.optimization_barrier((o, d))
+    if cone_spread is not None:
+        cone_spread = jax.lax.optimization_barrier(cone_spread)
+
     n = o.shape
     ones = jnp.ones(n, jnp.float32)
     state = dict(

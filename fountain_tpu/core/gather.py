@@ -78,14 +78,23 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     tables. table: [T, ...C]; idx: int [...N]; returns [...N, ...C].
 
     Tables with <= SELECT_MAX_ROWS rows are fetched with fusable
-    select-sums instead of a gather op (see above). Larger tables' rows
-    are tagged as ``rows`` remat residuals so a `jax.checkpoint` policy
-    that saves the name skips re-gathering in the backward pass."""
-    out = _make_gather(table.shape[0])(table, idx)
-    if table.shape[0] > SELECT_MAX_ROWS:
-        from jax.ad_checkpoint import checkpoint_name
-        out = checkpoint_name(out, "rows")
-    return out
+    select-sums instead of a gather op (see above). NOTE: do NOT
+    checkpoint_name the [N, C] rows — a saved f32[N, C<128] buffer
+    tile-pads to 128 lanes (134 MB per save at 262k lanes) and blows HBM
+    at compile time; use ``col_saver`` on the extracted flat columns."""
+    return _make_gather(table.shape[0])(table, idx)
+
+
+def col_saver(rows: jnp.ndarray, name: str = "rows"):
+    """Column extractor that tags each flat [N] column as a named remat
+    residual: ``col = col_saver(rows); x = col(k)``. Saving the planar
+    columns (pad-free) instead of the [N, C] rows keeps the remat from
+    re-gathering in the backward without the 128-lane padding blowup."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    def col(k):
+        return checkpoint_name(rows[:, k], name)
+    return col
 
 
 def gather_rows3(table: jnp.ndarray, idx: jnp.ndarray):
@@ -104,9 +113,15 @@ def gather_rows3(table: jnp.ndarray, idx: jnp.ndarray):
 
 def take3(table: jnp.ndarray, idx: jnp.ndarray):
     """Non-custom-vjp variant of gather_rows3 for large tables (atlas
-    texels): a row gather with the default scatter-add backward. Rows are
-    tagged as ``rows`` remat residuals (see gather_rows)."""
+    texels): a row gather with the default scatter-add backward.
+
+    The PLANAR components (not the [N, 3] rows) are tagged as ``rows``
+    remat residuals: a saved f32[N, 3] buffer tile-pads 42.7x on TPU
+    (3 -> 128 lanes, 128 MB per save at 262k) and blew HBM at compile
+    time on env-mapped scenes; three flat [N] saves are pad-free."""
     from jax.ad_checkpoint import checkpoint_name
     from fountain_tpu.core.vecmath import V3
-    r = checkpoint_name(table[idx], "rows")
-    return V3(r[..., 0], r[..., 1], r[..., 2])
+    r = table[idx]
+    return V3(checkpoint_name(r[..., 0], "rows"),
+              checkpoint_name(r[..., 1], "rows"),
+              checkpoint_name(r[..., 2], "rows"))

@@ -338,11 +338,12 @@ def triangle_hit_info(tris: Triangles, face_idx, o: V3, d: V3, t, valid,
     per-face data comes from per-component row gathers; everything stays in
     flat-[N] component-SoA layout (core.vecmath.V3)."""
     if attr is not None:
-        from jax.ad_checkpoint import checkpoint_name
-        rows = checkpoint_name(attr[face_idx], "rows")  # ONE [N, 32] gather
-        # ("rows" residual: saved across the bounce remat — re-gathering
-        # in the backward costs ~2.3 ms per 262k rays on v5e)
-        g = lambda k: rows[:, k]
+        from fountain_tpu.core.gather import col_saver
+        rows = attr[face_idx]                          # ONE [N, 32] gather
+        # planar "rows" residuals: saved across the bounce remat so the
+        # backward neither re-gathers (~2.3 ms / 262k on v5e) nor stores
+        # the 4x-padded [N, 32] rows
+        g = col_saver(rows)
         p0 = V3(g(0), g(1), g(2))
         p1 = V3(g(3), g(4), g(5))
         p2 = V3(g(6), g(7), g(8))

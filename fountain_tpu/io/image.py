@@ -25,13 +25,26 @@ def _linear_to_srgb(v: np.ndarray) -> np.ndarray:
                     1.055 * v ** (1.0 / 2.4) - 0.055).astype(np.float32)
 
 
+# process-global decode cache keyed by the FULL option tuple, matching
+# the reference's global mipmap cache key (path, wrap, scale, gamma,
+# flip) under once_cell (imageio/mod.rs:60-78); wrap/scale apply at the
+# atlas/texture layer here, so the decode key is (abspath, gamma, flip)
+_DECODE_CACHE: dict = {}
+
+
 def load_image(path: str, gamma: bool = None, flip_y: bool = True
                ) -> np.ndarray:
     """Load an image as linear float32 [H, W, 3].
 
     `gamma=None` auto-decides: LDR formats are sRGB-decoded, EXR is linear
-    (reference imageio/mod.rs:127-149).
+    (reference imageio/mod.rs:127-149). Decodes are cached per process
+    keyed by (abspath, gamma, flip_y); the returned array is shared — do
+    not mutate in place.
     """
+    key = (os.path.abspath(path), gamma, flip_y)
+    hit = _DECODE_CACHE.get(key)
+    if hit is not None:
+        return hit
     ext = os.path.splitext(path)[1].lower()
     if ext == ".exr":
         img = read_exr(path)
@@ -42,7 +55,9 @@ def load_image(path: str, gamma: bool = None, flip_y: bool = True
         img = _srgb_to_linear(arr) if (gamma is None or gamma) else arr
     if flip_y:
         img = img[::-1].copy()
-    return img.astype(np.float32)
+    img = img.astype(np.float32)
+    _DECODE_CACHE[key] = img
+    return img
 
 
 def save_image(path: str, img: np.ndarray) -> None:

@@ -104,10 +104,12 @@ class _LightRows:
     """Decoded view over gathered [N, 16] light rows."""
 
     def __init__(self, scene: Scene, li):
-        from fountain_tpu.core.gather import gather_rows
-        self._r = gather_rows(_light_table(scene), li)
+        from fountain_tpu.core.gather import col_saver, gather_rows
+        rows = gather_rows(_light_table(scene), li)
+        self._c = col_saver(rows)  # planar saved cols (see core.gather)
+        self._r = rows
         self._ib = lambda k: jax.lax.stop_gradient(
-            self._r[:, k]).astype(jnp.int32)
+            self._c(k)).astype(jnp.int32)
 
     @property
     def ltype(self):
@@ -115,19 +117,19 @@ class _LightRows:
 
     @property
     def emit(self) -> V3:
-        return V3(self._r[:, 1], self._r[:, 2], self._r[:, 3])
+        return V3(self._c(1), self._c(2), self._c(3))
 
     @property
     def pos(self) -> V3:
         # geometry columns are non-differentiable; detach so the gathered
         # row's tangent never reaches ray-offset ulp math (round-3 regression)
         sg = jax.lax.stop_gradient
-        return V3(sg(self._r[:, 4]), sg(self._r[:, 5]), sg(self._r[:, 6]))
+        return V3(sg(self._c(4)), sg(self._c(5)), sg(self._c(6)))
 
     @property
     def dir(self) -> V3:
         sg = jax.lax.stop_gradient
-        return V3(sg(self._r[:, 7]), sg(self._r[:, 8]), sg(self._r[:, 9]))
+        return V3(sg(self._c(7)), sg(self._c(8)), sg(self._c(9)))
 
     @property
     def shape_id(self):
@@ -147,7 +149,7 @@ class _LightRows:
 
     @property
     def area(self):
-        return self._r[:, 14]
+        return self._c(14)
 
     @property
     def env_slot(self):
@@ -349,24 +351,25 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
         k = jnp.clip(f0.astype(jnp.int32), 0, count - 1)
         frac = jnp.clip(f0 - k.astype(Float), 0.0, 1.0 - 1e-7)
         j0 = start + k
-        row0 = checkpoint_name(scene.light_tri[j0], "rows")
-        prob = row0[:, 0]
+        row0 = scene.light_tri[j0]
+        prob = checkpoint_name(row0[:, 0], "rows")
         take_alias = frac >= prob
         face = jnp.where(take_alias,
                          jax.lax.stop_gradient(row0[:, 1]).astype(jnp.int32),
                          j0)
-        row = jnp.where(take_alias[:, None],
-                        checkpoint_name(scene.light_tri[face], "rows"), row0)
+        row = jnp.where(take_alias[:, None], scene.light_tri[face], row0)
+        from fountain_tpu.core.gather import col_saver
+        rc = col_saver(row)
         # remap the within-cell residual to a fresh uniform
         resid = jnp.where(
             take_alias,
             (frac - prob) / jnp.maximum(1.0 - prob, 1e-12),
             frac / jnp.maximum(prob, 1e-12))
         resid = jnp.clip(resid, 0.0, 1.0)
-        p0 = V3(row[:, 2], row[:, 3], row[:, 4])
-        p1 = V3(row[:, 5], row[:, 6], row[:, 7])
-        p2 = V3(row[:, 8], row[:, 9], row[:, 10])
-        flip_t = row[:, 11] > 0.5
+        p0 = V3(rc(2), rc(3), rc(4))
+        p1 = V3(rc(5), rc(6), rc(7))
+        p2 = V3(rc(8), rc(9), rc(10))
+        flip_t = rc(11) > 0.5
         b0, b1 = uniform_sample_triangle(resid, u2)
         b2 = 1.0 - b0 - b1
         p_t = p0 * b0 + p1 * b1 + p2 * b2

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from fountain_tpu.core.gather import gather_rows3
@@ -139,8 +140,9 @@ def gather_shading(scene: Scene, hit: Hit, tex_lookup=None,
         tex_lookup = lambda iid, u, v, w=None: lookup_trilinear(
             atlas, iid, u, v, w)
 
+    from fountain_tpu.core.gather import col_saver
     rows = gather_rows(_shading_table(scene), mid)      # [N, 96]
-    col = lambda k: rows[:, k]
+    col = col_saver(rows)  # planar saved columns (see core.gather)
     ib = lambda k: jax.lax.stop_gradient(col(k)).astype(jnp.int32)
 
     def eval_slot(s):
@@ -426,6 +428,15 @@ def bsdf_sample(sp: ShadeParams, wo: V3, u_lobe, u1, u2) -> BsdfSample:
     wi_mft = normalize(wi_mft)
     wi = where3(glass_smooth, where3(pick_first, wi_mirror, wi_refr), wi)
     wi = where3(glass_rough, where3(pick_first, wi_mf, wi_mft), wi)
+
+    # detached-sampling contract: the sampled DIRECTION carries no
+    # gradient; parameter gradients flow only through f/pdf evaluated AT
+    # the (fixed) direction. Without this the f evaluation differentiates
+    # through tr_sample_wh's alpha->wh chain — a biased extra term whose
+    # arctan/tan partials go NaN near the phi wrap (the round-4
+    # roughness-texture NaN).
+    sg = jax.lax.stop_gradient
+    wi = V3(sg(wi.x), sg(wi.y), sg(wi.z))
 
     # --- f, pdf, specular flag per material
     abs_ci = mf.abs_cos_theta(wi)

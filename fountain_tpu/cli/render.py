@@ -29,6 +29,10 @@ def main(argv=None) -> int:
                     help="capture a jax.profiler (xprof) trace of the "
                          "render into DIR (reference tracing hooks: "
                          "src/bin/render.rs:35-36)")
+    ap.add_argument("--progress", action="store_true",
+                    help="render in sample chunks and print live paths/s "
+                         "(reference indicatif bar, integrator/mod.rs:"
+                         "187-191; uses the resumable render_samples)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -65,6 +69,27 @@ def main(argv=None) -> int:
         img_fn = lambda: render_sharded(
             scene, camera, st.xres, st.yres, spp, cfg, n_devices=args.devices,
             ftype=ftype, fradius=st.filter_radius, seed=jnp.int32(args.seed))
+    elif args.progress:
+        from fountain_tpu.integrator.render import render_samples
+        from fountain_tpu.scene.film import finalize, make_film
+
+        def img_fn():
+            film = make_film(st.xres, st.yres)
+            chunk = max(1, spp // 16)
+            t1 = time.time()
+            for s0 in range(0, spp, chunk):
+                s1 = min(s0 + chunk, spp)
+                film = render_samples(scene, camera, st.xres, st.yres,
+                                      s0, s1, spp, film, cfg, ftype,
+                                      st.filter_radius,
+                                      seed=jnp.int32(args.seed))
+                jax.block_until_ready(film.r_sum)
+                done = s1 * st.xres * st.yres
+                print(f"\r  {s1}/{spp} spp  "
+                      f"{done / (time.time() - t1):.3g} paths/s   ",
+                      end="", file=sys.stderr, flush=True)
+            print(file=sys.stderr)
+            return finalize(film)
     else:
         from fountain_tpu.integrator.render import render
         img_fn = lambda: render(scene, camera, st.xres, st.yres, spp, cfg,

@@ -1,12 +1,15 @@
 #!/usr/bin/env python
 """Headline benchmark: fwd+bwd rays/s on the rounded_cube scene.
 
-Renders data/rounded_cube.ply (4332 tris, LBVH) under a uniform infinite
-light with a matte material — BASELINE.json config 3 — and measures the
-steady-state throughput of the *differentiable* render step
-(value_and_grad of the image loss w.r.t. the texture/albedo parameter
-table). Ray counting is exact: one closest-hit ray per active lane per
-bounce plus shadow + MIS rays on NEE bounces (trace_paths count_rays).
+Renders data/rounded_cube.ply (4332 tris, LBVH) under an IMAGE-mapped
+environment light (sky.exr, importance-sampled through the per-light
+texel alias table) with a matte material — BASELINE.json config 3 as
+specified — and measures the steady-state throughput of the
+*differentiable* render step (value_and_grad of the image loss w.r.t.
+the texture/albedo parameter table). Ray counting is exact: one
+closest-hit ray per active lane per bounce plus shadow + MIS rays on NEE
+bounces (trace_paths count_rays). ``--uniform`` reverts to the round-4
+uniform-light variant for A/B comparison.
 
 Prints ONE json line:
   {"metric": "rays_per_s_fwd_bwd", "value": N, "unit": "rays/s",
@@ -39,19 +42,31 @@ CPU_RES = 256
 CPU_N_TIMED = 2
 
 
-def build_scene(res):
+def build_scene(res, env_image: bool = True):
+    """BASELINE.json config 3 AS SPECIFIED (round-5 task 1): rounded_cube
+    under an IMAGE-mapped environment light (importance-sampled via the
+    per-light texel alias table). ``env_image=False`` falls back to the
+    round-4 uniform light for A/B profiling."""
     from fountain_tpu.core import transform as tf
     from fountain_tpu.geometry.bvh import attach_bvh
+    from fountain_tpu.io.exr import read_exr
     from fountain_tpu.io.ply import load_ply
     from fountain_tpu.scene.build import SceneBuilder
     from fountain_tpu.scene.camera import make_perspective_camera
 
     mesh = load_ply("data/rounded_cube.ply")
     b = SceneBuilder()
+    env_tex = None
+    if env_image:
+        sky = b.add_image(read_exr("data/sky.exr"))
+        env_tex = b.add_image_texture(sky)
     mat = b.add_matte(kd=[0.6, 0.5, 0.4])
     b.add_triangle_mesh(mesh.positions, mesh.indices, normals=mesh.normals,
                         mat_id=mat)
-    b.add_infinite_light([1.0, 1.0, 1.0])
+    if env_tex is not None:
+        b.add_infinite_light([1.0, 1.0, 1.0], env_tex=env_tex)
+    else:
+        b.add_infinite_light([1.0, 1.0, 1.0])
     scene = attach_bvh(b.build())
     cam = make_perspective_camera(
         tf.look_at([25.0, -30.0, 18.0], [0.0, 0.0, 0.0], [0.0, 0.0, 1.0]),
@@ -117,6 +132,9 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--no-gate", action="store_true",
                     help="skip the on-TPU kernel correctness gate")
+    ap.add_argument("--uniform", action="store_true",
+                    help="uniform env light instead of the image env map "
+                         "(the round-4 configuration, for A/B)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -139,7 +157,7 @@ def main():
     from fountain_tpu.core import rng
     from fountain_tpu.integrator.path import DIM_CAMERA
 
-    scene, cam = build_scene(res)
+    scene, cam = build_scene(res, env_image=not args.uniform)
     cfg = PathConfig(max_depth=MAX_DEPTH, rr_threshold=1.0, nee=True)
     n = res * res
 

@@ -65,6 +65,9 @@ def main(argv=None) -> int:
              "gaussian": FILTER_GAUSSIAN}.get(st.filter_name, FILTER_BOX)
 
     if args.devices > 1:
+        if args.progress:
+            print("warning: --progress is not supported with --devices > 1; "
+                  "rendering sharded without progress", file=sys.stderr)
         from fountain_tpu.parallel.shard import render_sharded
         img_fn = lambda: render_sharded(
             scene, camera, st.xres, st.yres, spp, cfg, n_devices=args.devices,
@@ -76,7 +79,8 @@ def main(argv=None) -> int:
         def img_fn():
             film = make_film(st.xres, st.yres)
             chunk = max(1, spp // 16)
-            t1 = time.time()
+            t1 = None  # rate timer starts AFTER the first chunk: the
+            s_rate = 0  # first call pays the jit compile (ADVICE r4)
             for s0 in range(0, spp, chunk):
                 s1 = min(s0 + chunk, spp)
                 film = render_samples(scene, camera, st.xres, st.yres,
@@ -84,9 +88,13 @@ def main(argv=None) -> int:
                                       st.filter_radius,
                                       seed=jnp.int32(args.seed))
                 jax.block_until_ready(film.r_sum)
-                done = s1 * st.xres * st.yres
-                print(f"\r  {s1}/{spp} spp  "
-                      f"{done / (time.time() - t1):.3g} paths/s   ",
+                if t1 is None:
+                    t1, s_rate = time.time(), s1
+                    rate = ""
+                else:
+                    done = (s1 - s_rate) * st.xres * st.yres
+                    rate = f"{done / (time.time() - t1):.3g} paths/s   "
+                print(f"\r  {s1}/{spp} spp  {rate}",
                       end="", file=sys.stderr, flush=True)
             print(file=sys.stderr)
             return finalize(film)

@@ -98,27 +98,93 @@ def col_saver(rows: jnp.ndarray, name: str = "rows"):
 
 
 def gather_rows3(table: jnp.ndarray, idx: jnp.ndarray):
-    """Gather a [T, 3] table into a component-SoA V3 of flat [N] arrays.
+    """Gather a [T, 3] table into a component-SoA V3 of flat [N] arrays,
+    with the dense one-hot backward of ``gather_rows`` for small tables
+    (texture value rows — differentiable).
 
-    ONE [N, 3] row gather, then a column split. A TPU gather costs ~3 ms
-    per 262k random indices *per gather op* regardless of slice width (it
-    is latency-bound on the index stream), so one slice-3 gather beats
-    three slice-1 gathers 3:1; the [N, 3] intermediate's 42.7x tile
-    padding is only ~0.3 ms of HBM traffic in comparison.
+    Small tables resolve to per-column select-sums (zero gather ops);
+    large ones fall back to one [N, 3] row gather inside ``gather_rows``.
     """
     from fountain_tpu.core.vecmath import V3
+    if table.shape[0] <= SELECT_MAX_ROWS:
+        f = _make_gather(table.shape[0])
+        return V3(f(table[:, 0], idx), f(table[:, 1], idx),
+                  f(table[:, 2], idx))
     r = _make_gather(table.shape[0])(table, idx)
     return V3(r[..., 0], r[..., 1], r[..., 2])
 
 
-def take3(table: jnp.ndarray, idx: jnp.ndarray):
-    """Non-custom-vjp variant of gather_rows3 for large tables (atlas
-    texels): a row gather with the default scatter-add backward.
+def gather_cols(table: jnp.ndarray, idx: jnp.ndarray, name: str = "rows"):
+    """Per-COLUMN accessor over ``table[idx]`` that never materializes the
+    [N, C] row block: returns ``col(k) -> table[idx, k]`` as a flat [N]
+    array, tagged as a ``name`` remat residual.
 
-    The PLANAR components (not the [N, 3] rows) are tagged as ``rows``
-    remat residuals: a saved f32[N, 3] buffer tile-pads 42.7x on TPU
-    (3 -> 128 lanes, 128 MB per save at 262k) and blew HBM at compile
-    time on env-mapped scenes; three flat [N] saves are pad-free."""
+    Why: on TPU a row gather's column extracts force producer fusions to
+    emit f32[N,1]{T(8,128)} buffers padded 128x (134 MB per column at
+    262k lanes — the round-5 profile). Flat [N] arrays never pad, and
+    independent flat gathers run at HBM speed (~0.005 ms each at 262k).
+
+    Small tables (<= SELECT_MAX_ROWS rows) use per-column select-sums of
+    SCALARS — pure elementwise ops that fuse into consumers, cost ZERO
+    gathers, and differentiate through the table naturally. Larger
+    tables do ONE [N, C] row gather and extract columns: on v5e a gather
+    costs ~2-6 ms per 262k indices REGARDLESS of slice width (verified
+    round 5 with on-device traces — wall-clock microbenches lie here, the
+    axon runtime acks at enqueue), so one wide gather beats per-column
+    flat gathers C:1 and the [N, 1]-padded extract traffic (~0.2 ms per
+    column) is comparatively free.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+    rows_n, c_width = table.shape
+    if rows_n <= SELECT_MAX_ROWS:
+        def col(k):
+            acc = jnp.where(idx == 0, table[0, k], 0.0) if rows_n > 1 \
+                else jnp.broadcast_to(table[0, k], idx.shape)
+            for m in range(1, rows_n):
+                acc = acc + jnp.where(idx == m, table[m, k], 0.0)
+            return checkpoint_name(acc, name)
+    else:
+        rows = table[idx]                   # ONE [N, C] row gather
+
+        def col(k):
+            return checkpoint_name(rows[:, k], name)
+    return col
+
+
+@jax.custom_vjp
+def permute_rows(x: jnp.ndarray, perm: jnp.ndarray, inv: jnp.ndarray):
+    """``x[perm]`` for a *permutation* ``perm`` with inverse ``inv``.
+
+    The default VJP of a gather is a scatter-add (~1.2 ms per 262k lanes
+    on v5e); for a permutation the transpose is just a gather by the
+    inverse (~0.2 ms). Used by the per-bounce wavefront reorder in
+    integrator.path (the reorder's gradient flows through beta/radiance).
+    """
+    return x[perm]
+
+
+def _permute_rows_fwd(x, perm, inv):
+    return x[perm], inv
+
+
+def _permute_rows_bwd(inv, g):
+    return g[inv], None, None
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def take3(table: jnp.ndarray, idx: jnp.ndarray):
+    """Gather [T, 3] rows as a component-SoA V3 via three FLAT gathers of
+    the reshaped [3T] array (large tables — atlas texels — keep the
+    default scatter-add backward for texel gradients).
+
+    ONE [N, 3] row gather, then channel extracts: a v5e gather costs
+    ~2-6 ms per 262k indices regardless of slice width, so one slice-3
+    gather beats three flat gathers 3:1. The PLANAR components (not the
+    [N, 3] rows) are tagged as ``rows`` remat residuals — pad-free [N]
+    saves (a saved [N, 3] buffer tile-pads 42.7x and blew HBM on
+    env-mapped scenes in round 3)."""
     from jax.ad_checkpoint import checkpoint_name
     from fountain_tpu.core.vecmath import V3
     r = table[idx]

@@ -7,19 +7,23 @@ live here (XYZ<->RGB, spectrum/mod.rs:28-43; luminance, :104-107).
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from fountain_tpu.core.vecmath import Float
 
 # Row-vector matrices matching the reference coefficient tables
 # (spectrum/mod.rs:28-43, standard CIE sRGB primaries).
-_XYZ_TO_RGB = jnp.array([
+# numpy (not jnp) so importing the package never initializes the XLA
+# backend — jax.distributed.initialize must run first in multi-process
+_XYZ_TO_RGB = np.array([
     [3.240479, -1.537150, -0.498535],
     [-0.969256, 1.875991, 0.041556],
     [0.055648, -0.204043, 1.057311],
 ], dtype=Float)
 
-_RGB_TO_XYZ = jnp.array([
+_RGB_TO_XYZ = np.array([
     [0.412453, 0.357580, 0.180423],
     [0.212671, 0.715160, 0.072169],
     [0.019334, 0.119193, 0.950227],

@@ -146,7 +146,7 @@ def where3(mask, a, b) -> V3:
 MACHINE_EPSILON = 2.0 ** -24
 # Shadow-ray clipping epsilon (reference src/interaction.rs:10).
 SHADOW_EPSILON = 1e-4
-INFINITY = jnp.float32(jnp.inf)
+INFINITY = float("inf")  # plain float: no backend init at import
 PI = 3.14159265358979323846
 INV_PI = 1.0 / PI
 INV_2PI = 1.0 / (2.0 * PI)

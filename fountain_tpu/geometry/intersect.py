@@ -233,7 +233,7 @@ def miss_hit(o: V3, d: V3) -> Hit:
 
 
 def scene_intersect(scene: Scene, o_w, d_w, t_max, active=None,
-                    sort: bool = True) -> Hit:
+                    sort: bool = True, presorted: bool = False) -> Hit:
     """Closest-hit over all primitive tables (reference Scene::intersect,
     src/scene/mod.rs:51-53). Currently spheres + triangles brute-force; BVH
     traversal replaces the triangle path once built (geometry.bvh).
@@ -277,7 +277,8 @@ def scene_intersect(scene: Scene, o_w, d_w, t_max, active=None,
             from fountain_tpu.geometry.pallas_tri import mt_intersect_pallas
             t_t, idx_t, ok_t = mt_intersect_pallas(scene.tri_qfeat, o_w, d_w,
                                                    cap, active=active,
-                                                   sort=sort)
+                                                   sort=sort,
+                                                   presorted=presorted)
         elif scene.tri_features is not None:
             from fountain_tpu.geometry.tensor_tri import mt_intersect
             oa, da = arrays()
@@ -314,7 +315,7 @@ def select_hit(mask: jnp.ndarray, a: Hit, b: Hit) -> Hit:
 
 
 def scene_intersect_any(scene: Scene, o_w: V3, d_w: V3, t_max,
-                        active=None) -> jnp.ndarray:
+                        active=None, presorted: bool = False) -> jnp.ndarray:
     """Occlusion query (reference Scene::intersect_test, scene/mod.rs:55-57)."""
     o_a = d_a = None
 
@@ -334,7 +335,8 @@ def scene_intersect_any(scene: Scene, o_w: V3, d_w: V3, t_max,
             from fountain_tpu.geometry.pallas_tri import mt_intersect_pallas
             _, _, tri_blocked = mt_intersect_pallas(scene.tri_qfeat, o_w,
                                                     d_w, t_max, any_hit=True,
-                                                    active=active)
+                                                    active=active,
+                                                    presorted=presorted)
         elif scene.tri_features is not None:
             from fountain_tpu.geometry.tensor_tri import mt_intersect
             oa, da = arrays()

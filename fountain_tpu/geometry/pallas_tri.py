@@ -441,7 +441,7 @@ def sort_keys(o: V3, d: V3) -> jnp.ndarray:
 def mt_intersect_pallas(qdata, o: V3, d: V3, t_max,
                         t_eps: float = 1e-4, any_hit: bool = False,
                         interpret: bool = False, sort: bool = True,
-                        active=None):
+                        active=None, presorted: bool = False):
     """Drop-in for tensor_tri.mt_intersect using the fused kernel.
 
     qdata: pack_features_pallas output; o/d component-SoA V3 of [N],
@@ -451,6 +451,12 @@ def mt_intersect_pallas(qdata, o: V3, d: V3, t_max,
     sorts dead lanes last and lets trailing ray tiles skip all work
     (wavefront occupancy; the analog of the reference's per-lane break,
     path.rs:84-91).
+
+    ``presorted=True``: the caller has ALREADY clustered live lanes first
+    (the keep-permuted bounce loop, integrator.path) — no sort/unsort here;
+    ``active`` is then only counted for the trailing-tile skip and must be
+    a superset-clustered mask (every True lane within the first
+    sum(active) slots); per-lane deadness still rides t_max < 0.
 
     any_hit=True returns sentinels in the first two tuple slots —
     t = 0/inf and idx = 0/-1 encode only hit/miss, NOT the real hit
@@ -472,35 +478,44 @@ def mt_intersect_pallas(qdata, o: V3, d: V3, t_max,
     o, d, t_max = sg(o), sg(d), sg(t_max)
     if active is not None:
         active = sg(active)
-    # pack rays into [N, 8] rows BEFORE any permutation: a TPU gather's
-    # cost is per random index, not per byte (slice-1 gathers ~3 ms per
-    # 262k on this chip vs ~3 ms for a whole slice-8 ROW gather), so the
-    # sort applies one row gather instead of 7 flat ones
+    # Rays travel as FLAT [N] component arrays until the very last moment:
+    # any [N, C<128] stack forces its producer fusions to emit
+    # f32[N,1]{T(8,128)} buffers padded 128x (134 MB each at 262k — the
+    # round-5 profile showed these dominating the step). The flat columns
+    # are concatenated [8*N] (pad-free) and ONE transpose materializes
+    # the kernel's [N, 8] aux input.
     t_cap = jnp.where(jnp.isfinite(t_max), t_max, jnp.float32(3e38))
     shape = t_cap.shape
-    aux = jnp.stack(
-        [jnp.broadcast_to(o.x, shape), jnp.broadcast_to(o.y, shape),
-         jnp.broadcast_to(o.z, shape), jnp.broadcast_to(d.x, shape),
-         jnp.broadcast_to(d.y, shape), jnp.broadcast_to(d.z, shape),
-         t_cap, jnp.zeros_like(t_cap)], axis=-1)
+    cols = [jnp.broadcast_to(o.x, shape), jnp.broadcast_to(o.y, shape),
+            jnp.broadcast_to(o.z, shape), jnp.broadcast_to(d.x, shape),
+            jnp.broadcast_to(d.y, shape), jnp.broadcast_to(d.z, shape),
+            t_cap, jnp.zeros_like(t_cap)]
+    if npad != n:
+        cols = [jnp.pad(c, (0, npad - n), constant_values=-1.0)
+                for c in cols]              # padded lanes: t_cap = -1
+    # concat flat + one transpose (NOT jnp.stack): a stack's producer
+    # fusions must emit f32[N,1]{T(8,128)} buffers padded 128x; the flat
+    # concat keeps every producer pad-free and a single transpose
+    # materializes the kernel's [N, 8] input
+    aux = jnp.concatenate(cols).reshape(8, npad).T
     perm = inv_perm = None
-    if (sort or active is not None) and n > BN:
+    if not presorted and (sort or active is not None) and n > BN:
         key = sort_keys(o, d)
         if active is not None:
             key = jnp.where(active, key, jnp.int32(2**31 - 1))
+        if npad != n:
+            key = jnp.pad(key, (0, npad - n),
+                          constant_values=jnp.int32(2**31 - 1))
         perm = jnp.argsort(key)
-        # inverse permutation: unsorting becomes a row GATHER instead of a
-        # row scatter (a 262k scatter measured ~1.2 ms vs ~0.2 ms for the
-        # gather + ~0.25 ms for this extra argsort on v5e)
+        # inverse permutation: unsorting becomes a gather instead of a
+        # row scatter (a 262k scatter measured ~1.2 ms vs ~0.2 ms for
+        # the gather + ~0.25 ms for this extra argsort on v5e)
         inv_perm = jnp.argsort(perm)
-        aux = aux[perm]                     # one [N, 8] row gather
+        aux = aux[perm]                     # ONE [N, 8] row gather
     if active is None:
         n_active = jnp.full((1,), npad, jnp.int32)
     else:
         n_active = jnp.sum(active, dtype=jnp.int32)[None]
-    if npad != n:
-        aux = jnp.pad(aux, ((0, npad - n), (0, 0)),
-                      constant_values=-1.0)  # padded lanes: t_cap = -1
     if any_hit:
         occ = _sweep(n_active, aux, qfeat, qaabbT, t_eps=t_eps,
                      any_hit=True, interpret=interpret)
@@ -516,8 +531,9 @@ def mt_intersect_pallas(qdata, o: V3, d: V3, t_max,
         # packed (t, idx) pair. The pair travels as int32 (t bitcast):
         # f32 transport would NaN-canonicalize idx = -1 (0xFFFFFFFF) on
         # TPU and turn misses into hits.
-        pair = jnp.stack([jax.lax.bitcast_convert_type(t, jnp.int32), idx],
-                         axis=-1)           # [Npad, 2] i32
+        pair = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(t, jnp.int32), idx]
+        ).reshape(2, npad).T                # [Npad, 2] i32, pad-free build
         out = pair[inv_perm]
         t = jax.lax.bitcast_convert_type(out[:, 0], jnp.float32)
         idx = out[:, 1]

@@ -125,15 +125,17 @@ def woop_intersect(p0, p1, p2, o, d, t_max):
     b2 = e2 * inv_det
 
     # conservative t error bound (triangle.rs:253-268, pbrt 3.9.6)
-    max_zt = jnp.max(jnp.abs(jnp.stack([z0, z1, z2], -1)), -1)
-    max_xt = jnp.max(jnp.abs(jnp.stack([x0, x1, x2], -1)), -1)
-    max_yt = jnp.max(jnp.abs(jnp.stack([y0, y1, y2], -1)), -1)
+    # maximum chains, not stack+reduce: a [N, 3] stack forces 128x-padded
+    # [N, 1] producer buffers on TPU (round-5 profile)
+    max_zt = jnp.maximum(jnp.maximum(jnp.abs(z0), jnp.abs(z1)), jnp.abs(z2))
+    max_xt = jnp.maximum(jnp.maximum(jnp.abs(x0), jnp.abs(x1)), jnp.abs(x2))
+    max_yt = jnp.maximum(jnp.maximum(jnp.abs(y0), jnp.abs(y1)), jnp.abs(y2))
     delta_z = gamma(3) * max_zt
     delta_x = gamma(5) * (max_xt + max_zt)
     delta_y = gamma(5) * (max_yt + max_zt)
     delta_e = 2.0 * (gamma(2) * max_xt * max_yt + delta_y * max_xt
                      + delta_x * max_yt)
-    max_e = jnp.max(jnp.abs(jnp.stack([e0, e1, e2], -1)), -1)
+    max_e = jnp.maximum(jnp.maximum(jnp.abs(e0), jnp.abs(e1)), jnp.abs(e2))
     delta_t = 3.0 * (gamma(3) * max_e * max_zt + delta_e * max_zt
                      + delta_z * max_e) * jnp.abs(inv_det)
 
@@ -338,12 +340,11 @@ def triangle_hit_info(tris: Triangles, face_idx, o: V3, d: V3, t, valid,
     per-face data comes from per-component row gathers; everything stays in
     flat-[N] component-SoA layout (core.vecmath.V3)."""
     if attr is not None:
-        from fountain_tpu.core.gather import col_saver
-        rows = attr[face_idx]                          # ONE [N, 32] gather
-        # planar "rows" residuals: saved across the bounce remat so the
-        # backward neither re-gathers (~2.3 ms / 262k on v5e) nor stores
-        # the 4x-padded [N, 32] rows
-        g = col_saver(rows)
+        from fountain_tpu.core.gather import gather_cols
+        # per-column FLAT gathers (no [N, 32] row block: its column
+        # extracts force 128x-padded [N,1] producer buffers on TPU);
+        # each accessed column is a pad-free [N] "rows" remat residual
+        g = gather_cols(attr, face_idx)
         p0 = V3(g(0), g(1), g(2))
         p1 = V3(g(3), g(4), g(5))
         p2 = V3(g(6), g(7), g(8))

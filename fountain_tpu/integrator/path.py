@@ -95,7 +95,7 @@ class PathConfig(NamedTuple):
 
 def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
                      u_light, u_scatter, detach, bsdf_branch: bool = True,
-                     active=None) -> V3:
+                     active=None, presorted: bool = False) -> V3:
     """One-light direct illumination (reference estimate_direct,
     integrator/mod.rs:307-395).
 
@@ -103,7 +103,10 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
     shadow ray, no extra scene traversal); the BSDF-sampling MIS branch is
     then the *continuation ray's* emission gather in the bounce loop —
     the wavefront restructure that cuts traversal sweeps per bounce from
-    3 to 2. ``active`` feeds the sweep's dead-tile occupancy skip.
+    3 to 2. ``active`` feeds the sweep's dead-tile occupancy skip; with
+    ``presorted=True`` the wave is already live-lanes-first (the
+    keep-permuted bounce loop) and ``active`` must be that clustered
+    parent mask — dead shadow lanes then ride t_max < 0 only.
     """
     wo_l = world_to_local(hit, hit.wo)
 
@@ -127,8 +130,10 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
                           o_sh - ls.p_light))
     d_sh = target - o_sh
     t_max = jnp.where(possible, 1.0 - SHADOW_EPSILON, -1.0)  # skip dead lanes
-    sh_active = possible if active is None else (possible & active)
-    occluded = scene_intersect_any(scene, o_sh, d_sh, t_max, active=sh_active)
+    sh_active = active if presorted else \
+        (possible if active is None else (possible & active))
+    occluded = scene_intersect_any(scene, o_sh, d_sh, t_max, active=sh_active,
+                                   presorted=presorted)
     unocc = possible & ~occluded
 
     weight_l = jnp.where(ls.is_delta, 1.0,
@@ -143,7 +148,8 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
         return ld
 
     # ---- BSDF-sampling branch (skipped for delta lights, mod.rs:344-346)
-    bs = bsdf_sample(sp, wo_l, u_scatter[0], u_scatter[1], u_scatter[2])
+    bs = bsdf_sample(sp, wo_l, u_scatter[0], u_scatter[1], u_scatter[2],
+                     detach_wi=detach is jax.lax.stop_gradient)
     wi_b = detach(local_to_world(hit, bs.wi))
     f_b = bs.f * absdot(wi_b, hit.ns)
     bsdf_ok = bs.valid & ~ls.is_delta & f_b.any_positive() & ~bs.is_specular
@@ -153,7 +159,9 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
     # from the hit (lights.light_pdf).
     o_b = spawn_ray(hit, wi_b)
     t_inf = jnp.where(bsdf_ok, jnp.inf, -1.0)
-    hit_b = scene_intersect(scene, o_b, wi_b, t_inf)
+    hit_b = scene_intersect(scene, o_b, wi_b, t_inf,
+                            active=active if presorted else None,
+                            presorted=presorted)
     lpdf_b = light_pdf(scene, light_idx, hit.p, wi_b, hit=hit_b)
     bsdf_ok = bsdf_ok & (lpdf_b > 0.0)
     weight_b = power_heuristic(1, detach(bs.pdf), 1, detach(lpdf_b))
@@ -170,6 +178,29 @@ def _estimate_direct(scene: Scene, hit: Hit, sp, light_idx, n_lights,
         f_b * li * (weight_b / jnp.maximum(detach(bs.pdf), 1e-12)),
         0.0)
     return ld + lb
+
+
+# Keep-permuted carry: every per-lane leaf of the bounce state is
+# reordered with its own FLAT 1-D gather. Measured on v5e (tools
+# microbench): 20 independent 262k-lane flat gathers run at HBM speed
+# (~0.1 ms total) — while any [N, C<128] packing materializes
+# f32[N,1]{T(8,128)} producer buffers padded 128x (134 MB each!), which
+# multiplied the whole step 4x when tried. Flat [N] arrays never pad.
+def _permute_state(st: dict, perm, inv) -> dict:
+    """Reorder every per-lane leaf of the carry by ``perm`` (inverse
+    ``inv``); see core.gather.permute_rows for the permutation-aware VJP
+    (beta/radiance carry gradients — backward is a gather by ``inv``,
+    not a scatter)."""
+    from fountain_tpu.core.gather import permute_rows
+    out = dict(st)
+    for k, v in st.items():
+        if isinstance(v, V3):
+            out[k] = V3(permute_rows(v.x, perm, inv),
+                        permute_rows(v.y, perm, inv),
+                        permute_rows(v.z, perm, inv))
+        elif getattr(v, "ndim", None) == 1:
+            out[k] = permute_rows(v, perm, inv)
+    return out
 
 
 def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
@@ -213,14 +244,36 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
         # doubles as the reference's estimate_direct BSDF-sample ray,
         # integrator/mod.rs:346-391 — one traversal instead of two)
         prev_pdf=jnp.ones(n, jnp.float32),
+        # per-lane identity rides IN the carry so the whole wavefront can
+        # be kept Morton-permuted across a bounce (see _permute_state):
+        # RNG counters travel with their lane; ``orig`` maps each slot
+        # back to its input position for the single final unsort
+        lane=jnp.broadcast_to(jnp.asarray(lane, jnp.int32), n),
+        sample=jnp.broadcast_to(jnp.asarray(sample, jnp.int32), n),
+        orig=jnp.arange(n[0], dtype=jnp.int32) if len(n) == 1 else None,
+        spread=(jnp.zeros(n, jnp.float32) if cone_spread is None
+                else jnp.broadcast_to(cone_spread, n)),
     )
-    spread = jnp.zeros(n, jnp.float32) if cone_spread is None \
-        else jnp.broadcast_to(cone_spread, n)
+    if state["orig"] is None:
+        del state["orig"]
 
     # the new-estimator MIS gather applies on path-mode NEE bounces
     nee_gather = cfg.nee and n_lights > 0 and cfg.mode == "path"
 
-    def bounce_body(bounce, st, first: bool = False):
+    def bounce_body(bounce, st, first: bool = False, permute: bool = False):
+        if permute and not first:
+            # reorder the WHOLE carry once per bounce (Morton key over the
+            # continuation rays, dead lanes last): the closest-hit sweep,
+            # the shadow sweep, and all shading/NEE gathers then run on a
+            # spatially-coherent live-first wave with zero per-sweep
+            # sort/unsort; radiance is unsorted ONCE after the last bounce
+            from fountain_tpu.geometry.pallas_tri import sort_keys
+            key = sort_keys(V3(st["ox"], st["oy"], st["oz"]),
+                            V3(st["dx"], st["dy"], st["dz"]))
+            key = jnp.where(st["active"], key, jnp.int32(2 ** 31 - 1))
+            perm = jnp.argsort(jax.lax.stop_gradient(key))
+            inv = jnp.argsort(perm)
+            st = _permute_state(st, perm, inv)
         ro = V3(st["ox"], st["oy"], st["oz"])
         rd = V3(st["dx"], st["dy"], st["dz"])
         t_max = jnp.where(st["active"], jnp.inf, -1.0)
@@ -229,7 +282,8 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
         # sort/permutation plumbing is pure overhead there
         hit = scene_intersect(scene, ro, rd, t_max,
                               active=None if first else st["active"],
-                              sort=not first)
+                              sort=not first and not permute,
+                              presorted=permute and not first)
         if count_rays:
             st["n_rays"] = st["n_rays"] + jnp.sum(
                 st["active"].astype(st["n_rays"].dtype))
@@ -253,7 +307,7 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
             from fountain_tpu.scene.types import LIGHT_INFINITE
             for k in range(n_lights):
                 pdf_k = detach(light_pdf(
-                    scene, jnp.full(lane.shape, k, jnp.int32), ro, rd))
+                    scene, jnp.full(st["lane"].shape, k, jnp.int32), ro, rd))
                 is_inf_k = scene.lights.ltype[k] == LIGHT_INFINITE
                 w_k = jnp.where(gate | ~is_inf_k, 1.0,
                                 power_heuristic(1, st["prev_pdf"], 1, pdf_k))
@@ -274,7 +328,7 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
 
         # ray-cone footprint at the hit -> mipmap filter width in uv space
         t_hit = jnp.where(hit.valid, hit.t, 0.0)
-        width_at_hit = st["cone_width"] + t_hit * spread
+        width_at_hit = st["cone_width"] + t_hit * st["spread"]
         tex_width = width_at_hit * hit.inv_uv_scale
         st["cone_width"] = jnp.where(alive, width_at_hit, st["cone_width"])
 
@@ -292,10 +346,10 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
         # Direct mode keeps the reference's standalone BSDF-sample ray
         # because non-specular continuation lanes terminate there.
         if cfg.nee and n_lights > 0 and cfg.mode != "whitted":
-            u_sel = rng.uniform4(lane, sample, bounce * _SLOTS + _SLOT_LIGHT,
-                                 seed)
-            u_sc = rng.uniform4(lane, sample, bounce * _SLOTS + _SLOT_SCATTER,
-                                seed)
+            u_sel = rng.uniform4(st["lane"], st["sample"],
+                                 bounce * _SLOTS + _SLOT_LIGHT, seed)
+            u_sc = rng.uniform4(st["lane"], st["sample"],
+                                bounce * _SLOTS + _SLOT_SCATTER, seed)
             light_idx = jnp.minimum(
                 (u_sel[0] * n_lights).astype(jnp.int32), n_lights - 1)
             nee_on = alive & has_non_specular(sp) & ~null_bsdf
@@ -303,7 +357,9 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
             direct = _estimate_direct(
                 scene, hit, sp, light_idx, n_lights,
                 (u_sel[1], u_sel[2]), (u_sc[0], u_sc[1], u_sc[2]), detach,
-                bsdf_branch=(cfg.mode != "path"), active=nee_on)
+                bsdf_branch=(cfg.mode != "path"),
+                active=(st["active"] if permute and not first else nee_on),
+                presorted=permute and not first)
             # save the NEE result as a remat residual: recomputing the NEE
             # block (light sampling + shadow-sweep plumbing + masked
             # all-lobes eval) in the backward pass measured ~500 ms of the
@@ -324,8 +380,8 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
             wo_l_w = world_to_local(hit, hit.wo)
             total = zeros3(n)
             for i in range(n_lights):
-                li = jnp.full(lane.shape, i, jnp.int32)
-                ui = rng.uniform4(lane, sample,
+                li = jnp.full(st["lane"].shape, i, jnp.int32)
+                ui = rng.uniform4(st["lane"], st["sample"],
                                   bounce * _SLOTS + _SLOT_SCATTER, seed + i)
                 ls = sample_light(scene, li, hit.p, ui[0], ui[1])
                 wi_l = world_to_local(hit, detach(ls.wi))
@@ -351,9 +407,11 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
                     nee_on.astype(st["n_rays"].dtype))
 
         # --- BSDF sampling for continuation (path.rs:66-76)
-        ub = rng.uniform4(lane, sample, bounce * _SLOTS + _SLOT_BSDF, seed)
+        ub = rng.uniform4(st["lane"], st["sample"],
+                          bounce * _SLOTS + _SLOT_BSDF, seed)
         wo_l = world_to_local(hit, hit.wo)
-        bs = bsdf_sample(sp, wo_l, ub[0], ub[1], ub[2])
+        bs = bsdf_sample(sp, wo_l, ub[0], ub[1], ub[2],
+                         detach_wi=detach_sampling)
         wi_w = detach(normalize(local_to_world(hit, bs.wi)))
         f_ok = bs.valid & bs.f.any_nonzero()
         contrib = bs.f * (absdot(wi_w, hit.ns)
@@ -385,8 +443,8 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
 
         # --- Russian roulette (path.rs:84-91)
         if cfg.rr_threshold > 0.0:
-            u_rr = rng.uniform1(lane, sample, bounce * _SLOTS + _SLOT_RR,
-                                seed)
+            u_rr = rng.uniform1(st["lane"], st["sample"],
+                                bounce * _SLOTS + _SLOT_RR, seed)
             beta_max = detach(st["beta"].max_component())
             do_rr = alive & (beta_max < cfg.rr_threshold) & (bounce > 3)
             q = jnp.maximum(0.05, 1.0 - beta_max)
@@ -415,24 +473,35 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
             *_CKPT_SAVE_NAMES)
         _geo = ("ox", "oy", "oz", "dx", "dy", "dz", "cone_width", "prev_pdf")
 
-        @_ft.partial(jax.checkpoint, policy=_policy, static_argnums=(2,))
-        def scan_body(carry, bounce, first=False):
+        @_ft.partial(jax.checkpoint, policy=_policy, static_argnums=(2, 3))
+        def scan_body(carry, bounce, first=False, permute=False):
             st = dict(carry)
             if detach_sampling:
                 for k in _geo:
                     st[k] = jax.lax.stop_gradient(st[k])
-            st = bounce_body(bounce, st, first=first)
+            st = bounce_body(bounce, st, first=first, permute=permute)
             return st, None
 
         from fountain_tpu.geometry.intersect import _use_pallas
-        unroll = _use_pallas() and "scan" not in _DBG_SG
+        from fountain_tpu.geometry.pallas_tri import BN as _BN
+        unroll = (_use_pallas() and "scan" not in _DBG_SG) \
+            or "forceperm" in _DBG_SG
+        # keep-permuted bounce loop: OFF by default. Measured on v5e
+        # (round 5): reordering the whole 20-leaf carry per bounce costs
+        # more than the per-sweep sort/unsort it replaces — v5e gathers
+        # are ~2-6 ms per 262k indices however issued, and the packed
+        # variant's [N, C<128] stacking forces 128x-padded [N, 1]
+        # producer buffers. Kept behind "forceperm" (correctness test
+        # + future hardware where gathers are bandwidth-bound).
+        do_perm = "forceperm" in _DBG_SG
         if "nockpt" in _DBG_SG:      # debug: no remat
             for b in range(cfg.max_depth + 1):
                 st = dict(state)
                 if detach_sampling:
                     for k in _geo:
                         st[k] = jax.lax.stop_gradient(st[k])
-                state = bounce_body(jnp.int32(b), st, first=(b == 0))
+                state = bounce_body(jnp.int32(b), st, first=(b == 0),
+                                    permute=do_perm)
         elif unroll:
             # unrolled bounce loop on TPU (depth is small and static): no
             # scan carry slicing/DUS plumbing, no while-step dispatch
@@ -444,10 +513,22 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
             # suite's compile times sane, and `sort` only affects the
             # TPU pallas path anyway.
             for b in range(cfg.max_depth + 1):
-                state, _ = scan_body(state, jnp.int32(b), b == 0)
+                state, _ = scan_body(state, jnp.int32(b), b == 0, do_perm)
         else:
-            state, _ = jax.lax.scan(lambda c, b: scan_body(c, b, False),
-                                    state, jnp.arange(cfg.max_depth + 1))
+            state, _ = jax.lax.scan(
+                lambda c, b: scan_body(c, b, False, False),
+                state, jnp.arange(cfg.max_depth + 1))
+        if unroll and do_perm and cfg.max_depth >= 1:
+            # single unsort of the permuted-frame radiance back to input
+            # lane order: orig ∘ inv = id, so gather by inv = argsort(orig)
+            # (permutation-aware VJP: backward re-gathers by orig)
+            from fountain_tpu.core.gather import permute_rows
+            orig = state["orig"]
+            inv = jnp.argsort(orig)
+            r = state["radiance"]
+            state["radiance"] = V3(permute_rows(r.x, inv, orig),
+                                   permute_rows(r.y, inv, orig),
+                                   permute_rows(r.z, inv, orig))
     else:
         state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce_body, state)
     if count_rays:

@@ -65,12 +65,13 @@ def render_wave(scene: Scene, camera: PerspectiveCamera, xres: int,
 
 
 @partial(jax.jit, static_argnames=("xres", "yres", "s_begin", "s_end",
-                                   "spp_total", "cfg", "ftype", "fradius"))
+                                   "spp_total", "cfg", "ftype", "fradius",
+                                   "detach_sampling"))
 def render_samples(scene: Scene, camera: PerspectiveCamera, xres: int,
                    yres: int, s_begin: int, s_end: int, spp_total: int,
                    film: Film, cfg: PathConfig = PathConfig(),
                    ftype: int = FILTER_BOX, fradius: float = 0.5,
-                   seed=0) -> Film:
+                   seed=0, detach_sampling: bool = True) -> Film:
     """Accumulate samples [s_begin, s_end) into `film` and return it.
 
     The checkpoint/resume primitive (reference sampler/mod.rs:53 reserved
@@ -84,6 +85,7 @@ def render_samples(scene: Scene, camera: PerspectiveCamera, xres: int,
     def body(s, film: Film) -> Film:
         fx, fy, radiance = render_wave(
             scene, camera, xres, yres, s, cfg, seed=seed,
+            detach_sampling=detach_sampling,
             diff_scale=1.0 / max(spp_total, 1) ** 0.5)
         # full-frame lane-aligned layout -> scatter-free shifted-add splat
         return add_samples_aligned(film, fx, fy, radiance, ftype=ftype,
@@ -93,12 +95,20 @@ def render_samples(scene: Scene, camera: PerspectiveCamera, xres: int,
 
 
 @partial(jax.jit, static_argnames=("xres", "yres", "spp", "cfg", "ftype",
-                                   "fradius"))
+                                   "fradius", "detach_sampling"))
 def render(scene: Scene, camera: PerspectiveCamera, xres: int, yres: int,
            spp: int, cfg: PathConfig = PathConfig(),
            ftype: int = FILTER_BOX, fradius: float = 0.5,
-           seed=0) -> jnp.ndarray:
-    """Render a full image [yres, xres, 3] with `spp` samples per pixel."""
+           seed=0, detach_sampling: bool = True) -> jnp.ndarray:
+    """Render a full image [yres, xres, 3] with `spp` samples per pixel.
+
+    ``detach_sampling=False`` switches the whole estimator to ATTACHED
+    sampling: sampled directions keep their reparameterization chain
+    (u → wh(α) → wi), so jax.grad matches finite differences of the same
+    fixed-random-stream estimator even for sampled-lobe shape parameters
+    (roughness). Default True = the detached estimator (lower variance,
+    safe for discrete-choice params)."""
     film = render_samples(scene, camera, xres, yres, 0, spp, spp,
-                          make_film(xres, yres), cfg, ftype, fradius, seed)
+                          make_film(xres, yres), cfg, ftype, fradius, seed,
+                          detach_sampling=detach_sampling)
     return finalize(film)

@@ -41,7 +41,14 @@ def load_image(path: str, gamma: bool = None, flip_y: bool = True
     keyed by (abspath, gamma, flip_y); the returned array is shared — do
     not mutate in place.
     """
-    key = (os.path.abspath(path), gamma, flip_y)
+    # mtime in the key: a file rewritten between scene builds must not
+    # serve the stale decode; the cached array is frozen so an in-place
+    # mutation by a caller raises instead of corrupting later builds
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (os.path.abspath(path), gamma, flip_y, mtime)
     hit = _DECODE_CACHE.get(key)
     if hit is not None:
         return hit
@@ -55,7 +62,8 @@ def load_image(path: str, gamma: bool = None, flip_y: bool = True
         img = _srgb_to_linear(arr) if (gamma is None or gamma) else arr
     if flip_y:
         img = img[::-1].copy()
-    img = img.astype(np.float32)
+    img = np.ascontiguousarray(img.astype(np.float32))
+    img.flags.writeable = False
     _DECODE_CACHE[key] = img
     return img
 

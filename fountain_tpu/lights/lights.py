@@ -24,8 +24,7 @@ import jax.numpy as jnp
 
 from fountain_tpu.core import transform as tf
 from fountain_tpu.core.gather import gather_rows3
-from fountain_tpu.core.sampling import (pdf_distribution_2d_slot,
-                                        sample_distribution_2d_slot,
+from fountain_tpu.core.sampling import (pdf_env_alias, sample_env_alias,
                                         uniform_sample_sphere,
                                         uniform_sample_triangle)
 from fountain_tpu.core.vecmath import (Float, PI, V3, cross, dot, gamma,
@@ -101,13 +100,12 @@ def _light_table(scene: Scene) -> jnp.ndarray:
 
 
 class _LightRows:
-    """Decoded view over gathered [N, 16] light rows."""
+    """Decoded per-column view over the light table at per-lane indices
+    (flat accesses only — see core.gather.gather_cols)."""
 
     def __init__(self, scene: Scene, li):
-        from fountain_tpu.core.gather import col_saver, gather_rows
-        rows = gather_rows(_light_table(scene), li)
-        self._c = col_saver(rows)  # planar saved cols (see core.gather)
-        self._r = rows
+        from fountain_tpu.core.gather import gather_cols
+        self._c = gather_cols(_light_table(scene), li)
         self._ib = lambda k: jax.lax.stop_gradient(
             self._c(k)).astype(jnp.int32)
 
@@ -289,11 +287,11 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
     pdf_u = jnp.full(n, 1.0 / (4.0 * PI), Float)
     rad_u = emit
     if scene.env_dist is not None:
-        # importance-sample THIS light's luminance*sin(theta) 2D CDF
-        # (per-light slot, infinite.rs:63-77,99-119; pdf /= 2 pi^2 sin)
+        # importance-sample THIS light's luminance*sin(theta) density via
+        # its O(1) texel alias table (per-light slot; the reference's 2D
+        # CDF equivalent, infinite.rs:63-77,99-119; pdf /= 2 pi^2 sin)
         slot = jnp.maximum(lr.env_slot, 0)
-        ue, ve, pdf_uv = sample_distribution_2d_slot(scene.env_dist, slot,
-                                                     u1, u2)
+        ue, ve, pdf_uv = sample_env_alias(scene.env_dist, slot, u1, u2)
         wi_e, sin_t = env_uv_to_dir(ue, ve)
         pdf_e = jnp.where(sin_t > 0.0,
                           pdf_uv / (2.0 * PI * PI * jnp.maximum(sin_t, 1e-9)),
@@ -344,22 +342,22 @@ def sample_light(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
     # reorder) replace the 21-gather CDF bisection + 7 vertex/flag gathers.
     sel = ltype == LIGHT_AREA_TRI
     if scene.triangles.count > 0 and scene.light_tri is not None:
-        from jax.ad_checkpoint import checkpoint_name
+        from fountain_tpu.core.gather import gather_cols
         start = lr.tri_start
         count = jnp.maximum(lr.tri_count, 1)
         f0 = u1 * count.astype(Float)
         k = jnp.clip(f0.astype(jnp.int32), 0, count - 1)
         frac = jnp.clip(f0 - k.astype(Float), 0.0, 1.0 - 1e-7)
         j0 = start + k
-        row0 = scene.light_tri[j0]
-        prob = checkpoint_name(row0[:, 0], "rows")
+        # flat column accesses only (no [N, 16] row blocks): resolve the
+        # alias decision first, then read the chosen face's row columns
+        c0 = gather_cols(scene.light_tri, j0)
+        prob = c0(0)
         take_alias = frac >= prob
         face = jnp.where(take_alias,
-                         jax.lax.stop_gradient(row0[:, 1]).astype(jnp.int32),
+                         jax.lax.stop_gradient(c0(1)).astype(jnp.int32),
                          j0)
-        row = jnp.where(take_alias[:, None], scene.light_tri[face], row0)
-        from fountain_tpu.core.gather import col_saver
-        rc = col_saver(row)
+        rc = gather_cols(scene.light_tri, face)
         # remap the within-cell residual to a fresh uniform
         resid = jnp.where(
             take_alias,
@@ -424,7 +422,7 @@ def light_pdf(scene: Scene, light_idx: jnp.ndarray, ref_p: V3,
         u_env, v_env = dir_to_env_uv(wn)
         sin_t = jnp.sqrt(jnp.maximum(1.0 - wn.z ** 2, 0.0))
         slot = jnp.maximum(lr.env_slot, 0)
-        pdf_uv = pdf_distribution_2d_slot(scene.env_dist, slot, u_env, v_env)
+        pdf_uv = pdf_env_alias(scene.env_dist, slot, u_env, v_env)
         pdf_env = jnp.where(sin_t > 0.0,
                             pdf_uv / (2.0 * PI * PI
                                       * jnp.maximum(sin_t, 1e-9)), 0.0)

@@ -90,11 +90,21 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
 
 def barrier_sync() -> None:
-    """Block until every device in the global mesh answers a psum(1).
+    """Block until every device in the global mesh answers.
 
     Used as the init barrier and before checkpoint writes so restartable
     sample ranges (io.checkpoint) never mix films from disagreeing hosts.
+
+    Multi-process: a host-local array cannot be auto-sharded onto
+    non-addressable devices (ADVICE r4), so the cross-host barrier goes
+    through ``multihost_utils.sync_global_devices`` (an all-gather over
+    the global device set). Single-process keeps the explicit psum(1)
+    proof over the local mesh.
     """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("fountain_tpu_init_barrier")
+        return
     mesh = make_render_mesh()
     ones = jnp.ones((mesh.devices.size,), jnp.int32)
 

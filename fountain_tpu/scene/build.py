@@ -24,26 +24,9 @@ from fountain_tpu.scene.types import (LIGHT_AREA_SPHERE, LIGHT_AREA_TRI,
 _I4 = np.eye(4, dtype=np.float32)
 
 
-def _vose_alias(pmf: np.ndarray):
-    """Vose alias-table construction: returns (prob [n], alias [n]) such
-    that sampling j = floor(u*n), then taking j if frac < prob[j] else
-    alias[j], draws index i with probability pmf[i]. O(1) per sample on
-    device (two row gathers) vs the O(log n) CDF bisection's ~21 gathers.
-    """
-    n = len(pmf)
-    prob = np.asarray(pmf, np.float64) * n
-    alias = np.arange(n, dtype=np.int64)
-    small = [i for i in range(n) if prob[i] < 1.0]
-    large = [i for i in range(n) if prob[i] >= 1.0]
-    while small and large:
-        s = small.pop()
-        l = large.pop()
-        alias[s] = l
-        prob[l] = (prob[l] + prob[s]) - 1.0
-        (small if prob[l] < 1.0 else large).append(l)
-    for i in large + small:
-        prob[i] = 1.0
-    return prob.astype(np.float32), alias.astype(np.int32)
+# Vose alias-table construction (O(1) device-side sampling) — shared with
+# the env-map texel tables; see core.sampling.vose_alias.
+from fountain_tpu.core.sampling import vose_alias as _vose_alias
 
 
 class SceneBuilder:
@@ -436,8 +419,7 @@ class SceneBuilder:
             atlas = build_atlas(self._images, self._image_wraps)
             per_light = self._env_light_images()
             if per_light:
-                from fountain_tpu.core.sampling import (
-                    make_distribution_2d_stack)
+                from fountain_tpu.core.sampling import make_env_alias_stack
                 funcs = []
                 # common grid: nearest-UPsample every map to the largest
                 # size so the stack shares one shape; replication preserves
@@ -474,7 +456,7 @@ class SceneBuilder:
                     sin_t = np.sin(np.pi * (1.0 - v))
                     funcs.append(lum_b * sin_t[:, None])
                     env_slots[lid] = slot
-                env_dist = make_distribution_2d_stack(funcs)
+                env_dist = make_env_alias_stack(funcs)
         if self._lights and lights.count:
             lights = lights._replace(env_slot=jnp.asarray(
                 [env_slots.get(i, -1) for i in range(len(self._lights))],

@@ -251,7 +251,7 @@ class Scene(NamedTuple):
     # Distribution2D over luminance*sin(theta) with one slot per env-mapped
     # infinite light (leading axis S); lights.env_slot maps light -> slot,
     # -1 = uniform-sphere sampling
-    env_dist: Optional[tuple] = None              # core.sampling.Distribution2D
+    env_dist: Optional[tuple] = None              # core.sampling.EnvAlias
 
     @property
     def n_lights(self) -> int:

@@ -140,9 +140,10 @@ def gather_shading(scene: Scene, hit: Hit, tex_lookup=None,
         tex_lookup = lambda iid, u, v, w=None: lookup_trilinear(
             atlas, iid, u, v, w)
 
-    from fountain_tpu.core.gather import col_saver
-    rows = gather_rows(_shading_table(scene), mid)      # [N, 96]
-    col = col_saver(rows)  # planar saved columns (see core.gather)
+    from fountain_tpu.core.gather import gather_cols
+    # per-column flat accesses of the packed shading table — never
+    # materializes [N, 96] rows (see core.gather.gather_cols)
+    col = gather_cols(_shading_table(scene), mid)
     ib = lambda k: jax.lax.stop_gradient(col(k)).astype(jnp.int32)
 
     def eval_slot(s):
@@ -379,11 +380,18 @@ def has_non_specular(sp: ShadeParams):
             | ((sp.mtype == MAT_GLASS) & (sp.rough_raw > 0.0)))
 
 
-def bsdf_sample(sp: ShadeParams, wo: V3, u_lobe, u1, u2) -> BsdfSample:
+def bsdf_sample(sp: ShadeParams, wo: V3, u_lobe, u1, u2,
+                detach_wi: bool = True) -> BsdfSample:
     """Sample a continuation direction (bsdf.rs:85-129 semantics).
 
     All candidate strategies are evaluated; the material type plus the
     uniform lobe pick select the result. Returns local-frame wi.
+
+    ``detach_wi`` follows the integrator's detach_sampling flag (ADVICE
+    r4): True (default) severs the sampled direction — the detached
+    estimator; False keeps the u→wi reparameterization chain attached
+    (tr_sample_wh's alpha→wh dependence included) for attached-mode
+    gradients of sampled-lobe shape parameters like roughness.
     """
     # candidate A: cosine hemisphere on wo's side (DefaultSampleF,
     # reflection/mod.rs:116-147)
@@ -429,14 +437,13 @@ def bsdf_sample(sp: ShadeParams, wo: V3, u_lobe, u1, u2) -> BsdfSample:
     wi = where3(glass_smooth, where3(pick_first, wi_mirror, wi_refr), wi)
     wi = where3(glass_rough, where3(pick_first, wi_mf, wi_mft), wi)
 
-    # detached-sampling contract: the sampled DIRECTION carries no
-    # gradient; parameter gradients flow only through f/pdf evaluated AT
-    # the (fixed) direction. Without this the f evaluation differentiates
-    # through tr_sample_wh's alpha->wh chain — a biased extra term whose
-    # arctan/tan partials go NaN near the phi wrap (the round-4
-    # roughness-texture NaN).
-    sg = jax.lax.stop_gradient
-    wi = V3(sg(wi.x), sg(wi.y), sg(wi.z))
+    if detach_wi:
+        # detached-sampling contract: the sampled DIRECTION carries no
+        # gradient; parameter gradients flow only through f/pdf evaluated
+        # AT the (fixed) direction (attached mode keeps the alpha->wh
+        # chain; tr_sample_wh's phi map is pole-free for this)
+        sg = jax.lax.stop_gradient
+        wi = V3(sg(wi.x), sg(wi.y), sg(wi.z))
 
     # --- f, pdf, specular flag per material
     abs_ci = mf.abs_cos_theta(wi)

@@ -103,21 +103,30 @@ def tr_sample_wh(u1, u2, ax, ay):
     iso = ax == ay
     # isotropic
     phi_i = (2.0 * PI) * u2
-    tan2_i = ax * ax * u1 / jnp.maximum(1.0 - u1, 1e-9)
-    # anisotropic (pbrt): phi from atan with quadrant fix
-    phi_a = jnp.arctan(ay / jnp.maximum(ax, 1e-20)
-                       * jnp.tan(2.0 * PI * u2 + 0.5 * PI))
-    phi_a = jnp.where(u2 > 0.5, phi_a + PI, phi_a)
-    sp, cp = jnp.sin(phi_a), jnp.cos(phi_a)
+    # anisotropic: the reference's arctan(ay/ax·tan(2πu+π/2)) quadrant
+    # formula (microfacet.rs:168-171) has tan poles whose cotangents NaN
+    # the backward pass (the attached-sampling estimator differentiates
+    # through this map). The ellipse parameterization
+    # phi = atan2(ay·sin t, ax·cos t), t = 2πu, draws the SAME marginal
+    # p(φ) ∝ 1/(cos²φ/ax² + sin²φ/ay²) — pole-free, and sin/cos of φ come
+    # straight from normalizing (ax·cos t, ay·sin t)
+    t = 2.0 * PI * u2
+    cx = jnp.maximum(ax, 1e-20) * jnp.cos(t)
+    sy = jnp.maximum(ay, 1e-20) * jnp.sin(t)
+    inv_n = 1.0 / jnp.sqrt(jnp.maximum(cx * cx + sy * sy, 1e-40))
+    cp = cx * inv_n
+    sp = sy * inv_n
     alpha2 = 1.0 / jnp.maximum(cp * cp / jnp.maximum(ax * ax, 1e-20)
                                + sp * sp / jnp.maximum(ay * ay, 1e-20), 1e-20)
+    tan2_i = ax * ax * u1 / jnp.maximum(1.0 - u1, 1e-9)
     tan2_a = alpha2 * u1 / jnp.maximum(1.0 - u1, 1e-9)
 
-    phi = jnp.where(iso, phi_i, phi_a)
+    cos_phi_v = jnp.where(iso, jnp.cos(phi_i), cp)
+    sin_phi_v = jnp.where(iso, jnp.sin(phi_i), sp)
     tan2 = jnp.where(iso, tan2_i, tan2_a)
     cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-    return V3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
+    return V3(sin_t * cos_phi_v, sin_t * sin_phi_v, cos_t)
 
 
 # --- Beckmann, reference microfacet.rs:34-116 ------------------------------

@@ -162,15 +162,11 @@ def test_combined_grad_albedo_rough_emitter_env():
     # and the bright-region gradient should dominate nonzero
     assert float(jnp.abs(g_texel).sum()) > 0.0
 
-    # roughness texture row of the metal material: the DETACHED-sampling
-    # estimator intentionally severs the reparameterization term
-    # dwh/dalpha (bsdf.bsdf_sample detaches the sampled direction; the
-    # attached chain is NaN-prone through tr_sample_wh's arctan/tan and
-    # needs attached pdfs end-to-end to keep the D-cancellation). The
-    # NEE branch's roughness gradient is exact, the BSDF-sampled branch's
-    # is partial — a KNOWN bias of detached estimators for sampled-lobe
-    # shape parameters (Zeltner et al. 2021 taxonomy). Gate: finite,
-    # correct sign, same order of magnitude as the finite difference.
+    # roughness texture row of the metal material. The default DETACHED
+    # estimator severs the reparameterization term dwh/dalpha
+    # (bsdf.bsdf_sample detaches the sampled direction) — exact for the
+    # NEE branch, partial for the BSDF-sampled branch (Zeltner et al.
+    # 2021 taxonomy), so it only gets a sign + order-of-magnitude gate.
     r_row = int(scene.materials.rough_u_tex[1])
     g_r = float(g_tv[r_row].sum())
     h = 1e-3
@@ -179,3 +175,30 @@ def test_combined_grad_albedo_rough_emitter_env():
     assert np.isfinite(g_r)
     assert np.sign(g_r) == np.sign(fd_r) and 0.2 < g_r / fd_r < 2.0, \
         (g_r, fd_r)
+
+    # ATTACHED mode (round-5 task 4): detach_sampling=False keeps the
+    # u → wh(alpha) → wi chain (pole-free tr_sample_wh phi map), so
+    # jax.grad matches central finite differences of the SAME
+    # fixed-random-stream estimator to first order — a real allclose on
+    # the sampled-lobe shape parameter. Depth 2 (camera → metal →
+    # emission gather) exercises the full reparameterized chain while
+    # keeping the attached backward graph's CPU compile time sane.
+    cfg_att = PathConfig(max_depth=2, rr_threshold=0.0, nee=True)
+
+    def loss_att(params):
+        tv_, emit_scale, texels_ = params
+        s = scene._replace(
+            textures=scene.textures._replace(value=tv_),
+            lights=scene.lights._replace(emit=scene.lights.emit
+                                         * emit_scale),
+            env_images=scene.env_images._replace(texels=texels_))
+        return jnp.mean(render(s, cam, res, res, 4, cfg_att,
+                               detach_sampling=False))
+
+    g_att = jax.grad(loss_att)(params)[0]
+    g_r_att = float(g_att[r_row].sum())
+    assert np.isfinite(g_r_att)
+    fd_att = (float(loss_att((tv.at[r_row].add(h), emit, texels)))
+              - float(loss_att((tv.at[r_row].add(-h), emit, texels)))) \
+        / (2 * h)
+    np.testing.assert_allclose(g_r_att, fd_att, rtol=5e-2, atol=1e-5)

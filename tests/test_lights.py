@@ -214,7 +214,7 @@ def test_two_env_lights_per_light_distributions():
     b.add_infinite_light([1.0, 1.0, 1.0], env_tex=tb)
     scene = b.build()
     assert scene.env_dist is not None
-    assert scene.env_dist.cond_func.shape[0] == 2  # one slot per light
+    assert scene.env_dist.func.shape[0] == 2  # one slot per light
     slots = np.asarray(scene.lights.env_slot)
     assert sorted(slots.tolist()) == [0, 1]
 

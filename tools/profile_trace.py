@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 from bench import build_scene, RES, MAX_DEPTH
+import os as _os
 import fountain_tpu.integrator.path as P
 from fountain_tpu.scene.camera import generate_rays
 from fountain_tpu.core import rng
@@ -21,7 +22,7 @@ from fountain_tpu.core import rng
 
 def main():
     res = RES
-    scene, cam = build_scene(res)
+    scene, cam = build_scene(res, env_image=_os.environ.get("BENCH_ENV", "1") == "1")
     n = res * res
     lane = jnp.arange(n, dtype=jnp.int32)
     px = (lane % res).astype(jnp.float32)

@@ -73,6 +73,26 @@ def _make_gather(t_rows: int):
     return f
 
 
+def select_rows(table: jnp.ndarray, idx: jnp.ndarray,
+                limit: int = 64) -> jnp.ndarray:
+    """``table[idx]`` for small per-scene constant tables via select-sum —
+    zero gather ops, fuses into consumers.
+
+    Round-5 profile: per-lane indexing of tiny tables (texture uv_scale
+    [4,2], mipmap level_offset [1,16]) compiled to real gather ops at
+    ~2-6 ms per 262k indices each; the rematted backward re-executed
+    hundreds of them (~665 ms/step, 4x the whole forward). A select-sum
+    over <= ``limit`` scalar rows is pure VPU compare/add that fuses to
+    ~zero. Tables larger than ``limit`` fall back to a real gather.
+
+    Unlike ``gather_rows`` this has no custom one-hot backward: intended
+    for non-differentiated int/layout tables (ids, offsets, uv mapping).
+    """
+    if table.shape[0] <= limit:
+        return _take_small(table, idx)
+    return table[idx]
+
+
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``table[idx]`` with a dense (one-hot matmul) backward for small
     tables. table: [T, ...C]; idx: int [...N]; returns [...N, ...C].

@@ -266,8 +266,9 @@ def sample_distribution_2d_slot(d: Distribution2D, slot, u1, u2):
     dv = u1 - c0
     wv = c1 - c0
     dv = jnp.where(wv > 0.0, dv / jnp.where(wv == 0.0, 1.0, wv), dv)
+    from fountain_tpu.core.gather import select_rows
     fv = d.marginal.func.reshape(-1)[slot * nv + iv]
-    mint = d.marginal.func_int[slot]
+    mint = select_rows(d.marginal.func_int, slot)
     pdf_v = jnp.where(mint > 0.0, fv / jnp.where(mint == 0.0, 1.0, mint), 0.0)
     v = (iv.astype(Float) + dv) / nv
     # conditional column (u) bisection over cdf[slot, iv, :]
@@ -292,7 +293,8 @@ def pdf_distribution_2d_slot(d: Distribution2D, slot, u, v):
     nv, nu = d.cond_func.shape[-2:]
     iu = jnp.clip((u * nu).astype(jnp.int32), 0, nu - 1)
     iv = jnp.clip((v * nv).astype(jnp.int32), 0, nv - 1)
-    denom = d.marginal.func_int[slot]
+    from fountain_tpu.core.gather import select_rows
+    denom = select_rows(d.marginal.func_int, slot)
     return jnp.where(denom > 0.0,
                      d.cond_func[slot, iv, iu]
                      / jnp.where(denom == 0.0, 1.0, denom), 0.0)
@@ -373,15 +375,21 @@ def sample_env_alias(ea: EnvAlias, slot, u1, u2):
     Three flat [N] gathers total. u1 picks the texel via the alias table
     (its in-cell residual is remapped to the in-texel u offset); u2 is the
     in-texel v offset."""
+    from jax.ad_checkpoint import checkpoint_name
     s, nv, nu = ea.func.shape
     nm = nv * nu
     f0 = u1 * nm
     j0 = jnp.clip(f0.astype(jnp.int32), 0, nm - 1)
     frac = jnp.clip(f0 - j0.astype(Float), 0.0, _CELL_EPS)
     base = slot * nm
-    p = ea.prob.reshape(-1)[base + j0]
+    # flat-[N] gather outputs are tagged as remat residuals: re-running
+    # these 262k-index gathers in the rematted backward cost ~2.5 ms each
+    # (round-5 profile); the saved planar arrays are pad-free.
+    p = checkpoint_name(ea.prob.reshape(-1)[base + j0], "rows")
     take = frac >= p
-    k = jnp.where(take, ea.alias.reshape(-1)[base + j0], j0)
+    k = jnp.where(take,
+                  checkpoint_name(ea.alias.reshape(-1)[base + j0], "rows"),
+                  j0)
     resid = jnp.where(take,
                       (frac - p) / jnp.maximum(1.0 - p, 1e-12),
                       frac / jnp.maximum(p, 1e-12))
@@ -390,8 +398,9 @@ def sample_env_alias(ea: EnvAlias, slot, u1, u2):
     iu = k - iv * nu
     u = (iu.astype(Float) + resid) / nu
     v = (iv.astype(Float) + jnp.minimum(u2, _CELL_EPS)) / nv
-    pdf = ea.func.reshape(-1)[base + k] \
-        / jnp.maximum(ea.func_mean[slot], 1e-30)
+    from fountain_tpu.core.gather import select_rows
+    pdf = checkpoint_name(ea.func.reshape(-1)[base + k], "rows") \
+        / jnp.maximum(select_rows(ea.func_mean, slot), 1e-30)
     return u, v, pdf
 
 
@@ -400,5 +409,8 @@ def pdf_env_alias(ea: EnvAlias, slot, u, v):
     s, nv, nu = ea.func.shape
     iu = jnp.clip((u * nu).astype(jnp.int32), 0, nu - 1)
     iv = jnp.clip((v * nv).astype(jnp.int32), 0, nv - 1)
+    from jax.ad_checkpoint import checkpoint_name
+    from fountain_tpu.core.gather import select_rows
     k = slot * (nv * nu) + iv * nu + iu
-    return ea.func.reshape(-1)[k] / jnp.maximum(ea.func_mean[slot], 1e-30)
+    return checkpoint_name(ea.func.reshape(-1)[k], "rows") \
+        / jnp.maximum(select_rows(ea.func_mean, slot), 1e-30)

@@ -163,13 +163,18 @@ def _bilerp_level(atlas: ImageAtlas, image_id, level, u, v):
     mipmap.rs:264-279); all args per-lane arrays. Returns a component-SoA
     V3 (three flat [N] texel-channel gathers — zero tile padding; the old
     [N, 3] row gather padded 42.7x when materialized)."""
-    from fountain_tpu.core.gather import take3
+    from fountain_tpu.core.gather import select_rows, take3
     from fountain_tpu.core.vecmath import where3
-    level = jnp.clip(level, 0, atlas.n_levels[image_id] - 1)
-    off = atlas.level_offset[image_id, level]
-    w = atlas.level_w[image_id, level]
-    h = atlas.level_h[image_id, level]
-    wrap = atlas.wrap[image_id]
+    # the level/layout tables are tiny ([I, MAX_LEVELS]); per-lane fancy
+    # indexing compiled to real gathers at ~2-6 ms per 262k lanes EACH and
+    # the rematted backward re-ran them ~200x (round-5 profile: 390 ms/step)
+    # — select-sum them instead (zero gather ops).
+    level = jnp.clip(level, 0, select_rows(atlas.n_levels, image_id) - 1)
+    flat = image_id * MAX_LEVELS + level
+    off = select_rows(atlas.level_offset.reshape(-1), flat)
+    w = select_rows(atlas.level_w.reshape(-1), flat)
+    h = select_rows(atlas.level_h.reshape(-1), flat)
+    wrap = select_rows(atlas.wrap, image_id)
 
     s = u * w.astype(Float) - 0.5
     t = v * h.astype(Float) - 0.5
@@ -196,8 +201,9 @@ def lookup_trilinear(atlas: ImageAtlas, image_id, u, v, width=None):
 
     width: per-lane filter width in uv space (None / 0 => finest level).
     """
+    from fountain_tpu.core.gather import select_rows
     image_id = jnp.clip(image_id, 0, atlas.count - 1).astype(jnp.int32)
-    nl = atlas.n_levels[image_id].astype(Float)
+    nl = select_rows(atlas.n_levels, image_id).astype(Float)
     if width is None:
         return _bilerp_level(atlas, image_id,
                              jnp.zeros_like(image_id), u, v)

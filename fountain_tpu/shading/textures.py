@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from fountain_tpu.core.gather import gather_rows3
+from fountain_tpu.core.gather import gather_rows3, select_rows
 from fountain_tpu.core.vecmath import Float, V3, where3, zeros3
 from fountain_tpu.scene.types import (TEX_CHECKER, TEX_CONSTANT, TEX_IMAGE,
                                       TEX_SCALE, TEX_UV, Textures)
@@ -27,10 +27,12 @@ MAX_TEX_DEPTH = 3
 
 def _leaf_value(tex: Textures, tid, u0, v0, tex_lookup=None, width=None):
     """Evaluate non-nesting texture types for per-lane ids `tid` at uv."""
-    ttype = tex.ttype[tid]
+    ttype = select_rows(tex.ttype, tid)
     value = gather_rows3(tex.value, tid)
-    su, sv = tex.uv_scale[tid, 0], tex.uv_scale[tid, 1]
-    du, dv = tex.uv_offset[tid, 0], tex.uv_offset[tid, 1]
+    su, sv = (select_rows(tex.uv_scale[:, 0], tid),
+              select_rows(tex.uv_scale[:, 1], tid))
+    du, dv = (select_rows(tex.uv_offset[:, 0], tid),
+              select_rows(tex.uv_offset[:, 1], tid))
     u = u0 * su + du
     v = v0 * sv + dv
 
@@ -42,7 +44,7 @@ def _leaf_value(tex: Textures, tid, u0, v0, tex_lookup=None, width=None):
 
     if tex_lookup is not None:
         w = None if width is None else width * jnp.maximum(su, sv)
-        img_rgb = tex_lookup(tex.image_id[tid], u, v, w)
+        img_rgb = tex_lookup(select_rows(tex.image_id, tid), u, v, w)
         out = where3(ttype == TEX_IMAGE, img_rgb, out)
     return out
 
@@ -62,8 +64,10 @@ def eval_texture(tex: Textures, tid: jnp.ndarray, u, v,
 
     # checkerboard selector (reference checkerboard.rs:47-58: integer lattice
     # parity in mapped uv)
-    su, sv = tex.uv_scale[tid, 0], tex.uv_scale[tid, 1]
-    du, dv = tex.uv_offset[tid, 0], tex.uv_offset[tid, 1]
+    su, sv = (select_rows(tex.uv_scale[:, 0], tid),
+              select_rows(tex.uv_scale[:, 1], tid))
+    du, dv = (select_rows(tex.uv_offset[:, 0], tid),
+              select_rows(tex.uv_offset[:, 1], tid))
     cu = jnp.floor(u * su + du).astype(jnp.int32)
     cv = jnp.floor(v * sv + dv).astype(jnp.int32)
     checker_first = ((cu + cv) % 2) == 0
@@ -72,13 +76,14 @@ def eval_texture(tex: Textures, tid: jnp.ndarray, u, v,
     cur = tid
     mult = None
     for _ in range(MAX_TEX_DEPTH):
-        t = tex.ttype[cur]
+        t = select_rows(tex.ttype, cur)
+        sub_a = select_rows(tex.sub_a, cur)
         is_checker = t == TEX_CHECKER
         is_scale = t == TEX_SCALE
         nxt = jnp.where(is_checker,
-                        jnp.where(checker_first, tex.sub_a[cur],
-                                  tex.sub_b[cur]),
-                        jnp.where(is_scale, tex.sub_a[cur], cur))
+                        jnp.where(checker_first, sub_a,
+                                  select_rows(tex.sub_b, cur)),
+                        jnp.where(is_scale, sub_a, cur))
         scale_val = where3(is_scale, gather_rows3(tex.value, cur), 1.0)
         mult = scale_val if mult is None else mult * scale_val
         cur = nxt.astype(jnp.int32)

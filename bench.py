@@ -36,6 +36,10 @@ RES = 512
 SPP_PER_STEP = 1
 MAX_DEPTH = 5
 N_TIMED = 16
+# path-regeneration wave length: refill window of REGEN_ITERS-(depth+1)
+# iterations + drain. Larger = higher occupancy amortization, more HBM
+# for remat residuals and longer compiles.
+REGEN_ITERS = 24
 # CPU baseline measurement uses a smaller frame (rays/s is resolution-
 # independent once the wave saturates the vector units)
 CPU_RES = 256
@@ -135,6 +139,9 @@ def main():
     ap.add_argument("--uniform", action="store_true",
                     help="uniform env light instead of the image env map "
                          "(the round-4 configuration, for A/B)")
+    ap.add_argument("--no-regen", action="store_true",
+                    help="plain fixed-wave tracing (round-4 configuration) "
+                         "instead of path regeneration")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -161,21 +168,36 @@ def main():
     cfg = PathConfig(max_depth=MAX_DEPTH, rr_threshold=1.0, nee=True)
     n = res * res
 
+    regen = not args.no_regen
+
+    def make_ray_fn(seed):
+        def ray_fn(lane_ids, sample_ids):
+            px = (lane_ids % res).astype(jnp.float32)
+            py = (lane_ids // res).astype(jnp.float32)
+            u = rng.uniform4(lane_ids, sample_ids, DIM_CAMERA, seed)
+            rays = generate_rays(cam, px + u[0], py + u[1], u[2], u[3])
+            return rays.o, rays.d, jnp.zeros_like(px)
+        return ray_fn
+
     def wave_radiance(scene, seed, count_rays):
         lane = jnp.arange(n, dtype=jnp.int32)
-        px = (lane % res).astype(jnp.float32)
-        py = (lane // res).astype(jnp.float32)
-        u = rng.uniform4(lane, 0, DIM_CAMERA, seed)
-        rays = generate_rays(cam, px + u[0], py + u[1], u[2], u[3])
         sample = jnp.zeros((n,), jnp.int32)
-        return trace_paths(scene, rays.o, rays.d, lane, sample, cfg,
+        ray_fn = make_ray_fn(seed)
+        o, d, _ = ray_fn(lane, sample)
+        if regen:
+            # path-regeneration wave (trace_paths regen_fn): dead lanes
+            # start the next sample of their pixel instead of idling
+            return trace_paths(scene, o, d, lane, sample, cfg, seed=seed,
+                               count_rays=count_rays, regen_fn=ray_fn,
+                               n_iters=REGEN_ITERS)
+        return trace_paths(scene, o, d, lane, sample, cfg,
                            seed=seed, count_rays=count_rays)
 
     # exact ray count for one wave (forward accounting)
     @jax.jit
     def count_fn(scene, seed):
-        _, n_rays = wave_radiance(scene, seed, True)
-        return n_rays
+        out = wave_radiance(scene, seed, True)
+        return out[-1] if regen else out[1]
 
     # the timed differentiable step: fwd + bwd w.r.t. texture params.
     # The scene is CLOSED OVER (not a jit argument): scene tables are
@@ -186,6 +208,11 @@ def main():
     def step(tex_value, seed):
         def loss_fn(tv):
             s = scene._replace(textures=scene.textures._replace(value=tv))
+            if regen:
+                out = wave_radiance(s, seed, False)
+                total = jnp.sum(out.accum.sum())
+                n_done = jnp.maximum(out.n_done.sum(), 1)
+                return total / (3.0 * n_done.astype(jnp.float32))
             radiance = wave_radiance(s, seed, False)
             return jnp.mean(radiance.sum()) / 3.0
         return jax.value_and_grad(loss_fn)(tex_value)
@@ -208,7 +235,8 @@ def main():
         gate = kernel_gate(scene)  # raises (bench fails loudly) on regress
 
     rays_per_s = n_timed * rays_per_wave / dt
-    occupancy = rays_per_wave / (n * (MAX_DEPTH + 1))
+    occupancy = rays_per_wave / (n * (REGEN_ITERS if regen
+                                      else MAX_DEPTH + 1))
     print(json.dumps({
         "metric": "rays_per_s_fwd_bwd",
         "value": round(rays_per_s, 1),

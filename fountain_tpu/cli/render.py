@@ -33,6 +33,11 @@ def main(argv=None) -> int:
                     help="render in sample chunks and print live paths/s "
                          "(reference indicatif bar, integrator/mod.rs:"
                          "187-191; uses the resumable render_samples)")
+    ap.add_argument("--regen", action="store_true",
+                    help="path-regeneration waves (occupancy-optimal; box "
+                         "filter): dead lanes immediately start their "
+                         "pixel's next sample — ~3x throughput at equal "
+                         "quality; spp becomes a per-pixel average")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -64,7 +69,34 @@ def main(argv=None) -> int:
     ftype = {"box": FILTER_BOX, "triangle": FILTER_TRIANGLE,
              "gaussian": FILTER_GAUSSIAN}.get(st.filter_name, FILTER_BOX)
 
-    if args.devices > 1:
+    if args.regen:
+        if args.devices > 1 or args.progress:
+            print("warning: --regen ignores --devices/--progress",
+                  file=sys.stderr)
+        if ftype != FILTER_BOX:
+            print("warning: --regen uses the box filter", file=sys.stderr)
+        from fountain_tpu.integrator.path import trace_paths  # noqa: F401
+        from fountain_tpu.integrator.render import render_regen
+        from fountain_tpu.scene.film import finalize
+
+        def img_fn():
+            # a wave's refill window completes >= 1 sample/pixel per
+            # iteration; chunk waves (independent seeds) so the unrolled
+            # TPU bounce loop stays bounded regardless of spp
+            drain = cfg.max_depth + 1
+            film, done_spp, wave = None, 0, 0
+            while done_spp < spp:
+                todo = min(spp - done_spp, 16)
+                f = render_regen(scene, camera, st.xres, st.yres,
+                                 todo + drain, cfg,
+                                 seed=jnp.int32(args.seed + 7919 * wave),
+                                 spp_total=spp)
+                film = f if film is None else jax.tree.map(
+                    jnp.add, film, f)
+                done_spp += todo
+                wave += 1
+            return finalize(film)
+    elif args.devices > 1:
         if args.progress:
             print("warning: --progress is not supported with --devices > 1; "
                   "rendering sharded without progress", file=sys.stderr)

@@ -203,9 +203,19 @@ def _permute_state(st: dict, perm, inv) -> dict:
     return out
 
 
+class RegenResult(NamedTuple):
+    """Result of a path-regeneration wave (see trace_paths ``regen_fn``):
+    per-lane radiance summed over all COMPLETED samples, the number of
+    completed samples, and (count_rays) the exact useful-ray count."""
+    accum: V3
+    n_done: jnp.ndarray
+    n_rays: jnp.ndarray
+
+
 def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
                 seed=0, detach_sampling: bool = True,
-                count_rays: bool = False, cone_spread=None):
+                count_rays: bool = False, cone_spread=None,
+                regen_fn=None, n_iters: int | None = None):
     """Trace one camera-path per lane; returns radiance V3 over [N]
     (or (radiance, n_rays) with count_rays=True, where n_rays is the exact
     number of useful rays traced: one closest-hit per active lane per bounce
@@ -213,6 +223,26 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
 
     o, d: camera ray origins/directions (component-SoA V3 of [N]);
     lane/sample: int arrays [N] feeding the counter-based RNG.
+
+    Path regeneration (``regen_fn`` + ``n_iters``): the round-4 wave ran
+    every per-bounce op full-width while only 25% of lanes were alive
+    (lane_occupancy 0.254) — dead lanes paid full price for nothing,
+    because on TPU every gather/fusion runs over all N lanes regardless.
+    With ``regen_fn(lane, sample) -> (o, d, spread)`` supplied, a lane
+    whose path terminates immediately starts the NEXT sample of the same
+    pixel (sample counter + 1, fresh counter-RNG streams) instead of
+    idling, for the first ``n_iters - (max_depth + 1)`` iterations; the
+    remaining iterations drain in-flight paths to completion so every
+    started path is fully traced (no tail truncation bias — the classic
+    wavefront-regeneration scheme, cf. Laine et al. 2013, on top of
+    reference path.rs:25-95 semantics). Returns RegenResult with the
+    per-lane COMPLETED-sample radiance sum and count; the per-pixel
+    estimator is accum/n_done (each completed sample is an unbiased
+    pixel-radiance sample; n_done depends only on detached path-length
+    events). Requires flat [N] lanes and mode="path"/"direct"/"whitted"
+    as usual; per-lane depth rides in the carry, so the bounce index the
+    body sees is an ARRAY (the RNG dims, emission gate, depth cap, and RR
+    gate all broadcast).
     """
     n_lights = scene.lights.count
     detach = jax.lax.stop_gradient if detach_sampling else (lambda x: x)
@@ -326,10 +356,20 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
         # --- terminate: escaped or depth cap (path.rs:53-56)
         alive = st["active"] & hit.valid & (bounce < cfg.max_depth)
 
-        # ray-cone footprint at the hit -> mipmap filter width in uv space
+        # ray-cone footprint at the hit -> mipmap filter width in uv space.
+        # Grazing incidence stretches the footprint by 1/cos(theta) along
+        # the view direction (the reference's plane-projection
+        # differentials capture this via the 2x2 solve,
+        # interaction.rs:123-173); an isotropic cone tracks the minor
+        # axis, so we elongate by 1/|cos| (clamped: the reference's
+        # degenerate-projection fallback analog) to match the reference's
+        # max-axis width = max(|duv/dx|, |duv/dy|). The 3D cone width
+        # carried to the next bounce stays unstretched.
         t_hit = jnp.where(hit.valid, hit.t, 0.0)
         width_at_hit = st["cone_width"] + t_hit * st["spread"]
-        tex_width = width_at_hit * hit.inv_uv_scale
+        abs_cos = jnp.abs(dot(hit.wo, hit.n))
+        tex_width = width_at_hit * hit.inv_uv_scale \
+            / jnp.maximum(abs_cos, 0.05)
         st["cone_width"] = jnp.where(alive, width_at_hit, st["cone_width"])
 
         sp = gather_shading(scene, hit, tex_width=tex_width)
@@ -486,6 +526,65 @@ def trace_paths(scene: Scene, o: V3, d: V3, lane, sample, cfg: PathConfig,
         from fountain_tpu.geometry.pallas_tri import BN as _BN
         unroll = (_use_pallas() and "scan" not in _DBG_SG) \
             or "forceperm" in _DBG_SG
+
+        if regen_fn is not None:
+            k_iters = n_iters if n_iters is not None else \
+                2 * (cfg.max_depth + 1)
+            # refill window: paths started at iteration < r_win always have
+            # max_depth+1 iterations left, so they complete inside the wave
+            r_win = k_iters - (cfg.max_depth + 1)
+            state["depth"] = jnp.zeros(n, jnp.int32)
+            state["accum"] = zeros3(n)
+            state["n_done"] = jnp.zeros(n, jnp.int32)
+
+            @_ft.partial(jax.checkpoint, policy=_policy,
+                         static_argnums=(2, 3))
+            def regen_body(carry, it, first=False, static_it=None):
+                st = dict(carry)
+                if detach_sampling:
+                    for k in _geo:
+                        st[k] = jax.lax.stop_gradient(st[k])
+                was = st["active"]
+                st = bounce_body(st["depth"], st, first=first)
+                finished = was & ~st["active"]
+                st["accum"] = st["accum"] + where3(finished, st["radiance"],
+                                                   0.0)
+                st["n_done"] = st["n_done"] + finished.astype(jnp.int32)
+                in_window = (static_it < r_win) if static_it is not None \
+                    else (it < r_win)
+                refill = finished & in_window
+                new_sample = st["sample"] + 1
+                o2, d2, sp2 = regen_fn(st["lane"], new_sample)
+                o2, d2 = jax.lax.optimization_barrier((o2, d2))
+                for kk, v in (("ox", o2.x), ("oy", o2.y), ("oz", o2.z),
+                              ("dx", d2.x), ("dy", d2.y), ("dz", d2.z)):
+                    st[kk] = jnp.where(refill, v, st[kk])
+                st["radiance"] = where3(refill, 0.0, st["radiance"])
+                st["beta"] = where3(refill, 1.0, st["beta"])
+                st["specular"] = jnp.where(refill, False, st["specular"])
+                st["cone_width"] = jnp.where(refill, 0.0, st["cone_width"])
+                st["spread"] = jnp.where(refill, sp2, st["spread"])
+                st["prev_pdf"] = jnp.where(refill, 1.0, st["prev_pdf"])
+                st["sample"] = jnp.where(refill, new_sample, st["sample"])
+                st["depth"] = jnp.where(
+                    refill, 0, jnp.where(st["active"], st["depth"] + 1,
+                                         st["depth"]))
+                st["active"] = st["active"] | refill
+                return st, None
+
+            if unroll:
+                # static iteration index: drain iterations (it >= r_win)
+                # compile with the refill block dead-code-eliminated
+                for itv in range(k_iters):
+                    state, _ = regen_body(state, jnp.int32(itv), itv == 0,
+                                          itv)
+            else:
+                state, _ = regen_body(state, jnp.int32(0), True, 0)
+                state, _ = jax.lax.scan(
+                    lambda c, i: regen_body(c, i, False, None),
+                    state, jnp.arange(1, k_iters))
+            return RegenResult(state["accum"], state["n_done"],
+                               state["n_rays"] if count_rays else None)
         # keep-permuted bounce loop: OFF by default. Measured on v5e
         # (round 5): reordering the whole 20-leaf carry per bounce costs
         # more than the per-sweep sort/unsort it replaces — v5e gathers

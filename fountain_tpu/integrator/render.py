@@ -94,6 +94,53 @@ def render_samples(scene: Scene, camera: PerspectiveCamera, xres: int,
     return jax.lax.fori_loop(s_begin, s_end, body, film)
 
 
+@partial(jax.jit, static_argnames=("xres", "yres", "n_iters", "cfg",
+                                   "spp_total", "detach_sampling"))
+def render_regen(scene: Scene, camera: PerspectiveCamera, xres: int,
+                 yres: int, n_iters: int, cfg: PathConfig = PathConfig(),
+                 seed=0, sample0=0, spp_total: int = 16,
+                 detach_sampling: bool = True) -> Film:
+    """Render one path-REGENERATION wave into a film (box filter).
+
+    The occupancy-optimal production driver (see trace_paths ``regen_fn``):
+    each lane owns one pixel; a lane whose path terminates immediately
+    starts that pixel's next sample, so every per-bounce kernel runs on a
+    ~full wave instead of the ~25% that survive in a fixed wave. One wave
+    of ``n_iters`` iterations completes roughly
+    ``n_iters - (max_depth+1)`` samples per pixel (more when paths
+    terminate early); per-pixel sample counts vary, so the film's
+    weight_sum carries the true per-pixel count — sum/weight is the
+    standard progressive estimator. Accumulation restarts sample counters
+    at ``sample0`` (pass the previous wave's max sample index to resume;
+    bitwise-deterministic like render_samples). Box filter only: each
+    completed sample splats 1.0 into its own pixel (radius-0.5 box), so
+    no per-sample jitter bookkeeping is needed across refills.
+    """
+    total = xres * yres
+    lane = jnp.arange(total, dtype=jnp.int32)
+
+    def ray_fn(lane_ids, sample_ids):
+        px = (lane_ids % xres).astype(Float)
+        py = (lane_ids // xres).astype(Float)
+        u = rng.uniform4(lane_ids, sample_ids, DIM_CAMERA, seed)
+        rays = generate_rays(camera, px + u[0], py + u[1], u[2], u[3])
+        sx = length(rays.rx_d - rays.d)
+        sy = length(rays.ry_d - rays.d)
+        spread = jnp.maximum(sx, sy) / max(spp_total, 1) ** 0.5
+        return rays.o, rays.d, spread
+
+    sample = jnp.full((total,), sample0, jnp.int32)
+    o, d, _ = ray_fn(lane, sample)
+    out = trace_paths(scene, o, d, lane, sample, cfg, seed=seed,
+                      detach_sampling=detach_sampling, regen_fn=ray_fn,
+                      n_iters=n_iters)
+    w = out.n_done.astype(Float).reshape(yres, xres)
+    return Film(r_sum=out.accum.x.reshape(yres, xres),
+                g_sum=out.accum.y.reshape(yres, xres),
+                b_sum=out.accum.z.reshape(yres, xres),
+                weight_sum=w)
+
+
 @partial(jax.jit, static_argnames=("xres", "yres", "spp", "cfg", "ftype",
                                    "fradius", "detach_sampling"))
 def render(scene: Scene, camera: PerspectiveCamera, xres: int, yres: int,

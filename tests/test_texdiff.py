@@ -6,18 +6,15 @@ auxiliary rays (rx, ry) with the tangent plane and solving a 2x2 system
 (src/interaction.rs:123-173); the MIPMap then filters with
 width = max(|dudx|, |dvdx|, |dudy|, |dvdy|).
 
-This framework replaces that with an isotropic ray cone:
-tex_width = (cone_width + t * spread) * inv_uv_scale, with
-spread = max(|rx_d - d|, |ry_d - d|) and inv_uv_scale =
-max(1/|dpdu|, 1/|dpdv|) (integrator/path.py:255-260,
-geometry/triangle.py inv_uv). This test quantifies the deviation:
-
-- normal incidence: the cone matches the plane projection to within ~2x
-  (same mip level +-1),
-- grazing incidence: the plane projection's footprint stretches by
-  1/cos(theta) along the view direction; the isotropic cone tracks the
-  MINOR axis, so it under-estimates the reference width by ~cos(theta).
-  That trades a little aliasing for no over-blur -- documented deviation.
+This framework replaces that with an ELONGATED ray cone:
+tex_width = (cone_width + t * spread) * inv_uv_scale / max(|cos θ|, 0.05),
+with spread = max(|rx_d - d|, |ry_d - d|), inv_uv_scale =
+max(1/|dpdu|, 1/|dpdv|) (integrator/path.py bounce body,
+geometry/triangle.py inv_uv), and θ the incidence angle. The 1/cos
+stretch reproduces the plane projection's grazing elongation, so the
+cone width matches the reference's max-axis width
+max(|dudx|, |dvdx|, |dudy|, |dvdy|) within one mip level at BOTH normal
+and grazing incidence (validated below).
 """
 import numpy as np
 import jax.numpy as jnp
@@ -51,10 +48,12 @@ def _footprints(eye, target, res=16):
     rays = generate_rays(cam, px, py, jnp.zeros(n), jnp.zeros(n))
     hit = scene_intersect(scene, rays.o, rays.d, jnp.full((n,), jnp.inf))
 
-    # --- cone width (what the integrator computes, path.py:255-260)
+    # --- cone width (what the integrator computes in the bounce body:
+    # elongated by 1/|cos theta| at the hit)
     spread = jnp.maximum(length((rays.rx_d - rays.d).stack()),
                          length((rays.ry_d - rays.d).stack()))
-    w_cone = hit.t * spread * hit.inv_uv_scale
+    abs_cos = jnp.abs(dot(hit.wo, hit.n))
+    w_cone = hit.t * spread * hit.inv_uv_scale / jnp.maximum(abs_cos, 0.05)
 
     # --- reference plane projection (interaction.rs:123-173): intersect
     # rx/ry with the tangent plane, uv offsets via the known uv = (x, y)
@@ -86,21 +85,15 @@ def test_cone_matches_plane_projection_normal_incidence():
     assert float(ratio.min()) > 0.3 and float(ratio.max()) < 3.0
 
 
-def test_cone_tracks_minor_axis_at_grazing():
-    # ~75 degrees off-normal
+def test_cone_matches_plane_projection_at_grazing():
+    # ~75 degrees off-normal: the 1/cos-elongated cone must match the
+    # reference's max-axis plane-projection width within ONE MIP LEVEL
+    # (the round-5 upgrade; the old isotropic cone under-estimated by
+    # ~cos(theta) here)
     w_cone, w_ref, hit = _footprints([0.5, -3.0, 1.0], [0.5, 0.5, 0.0],
                                      res=48)
     assert len(w_ref) > 50
     ratio = w_cone / w_ref
     med = float(np.median(ratio))
-    # cos(theta) elongation: the cone under-estimates the max-axis
-    # reference width, but never by more than the grazing stretch, and
-    # never OVER-blurs (ratio stays below ~2)
-    assert 0.02 < med <= 2.0, med
-    # against the minor axis (footprint normal to the view) the cone is
-    # within one mip level
-    # minor-axis width ~ w_ref * cos(theta); theta from the hit geometry
-    cos_t = np.abs(np.asarray(dot(hit.wo, hit.n)))[np.asarray(hit.valid)]
-    minor = w_ref * cos_t
-    r2 = w_cone / np.maximum(minor, 1e-12)
-    assert 0.33 < float(np.median(r2)) < 3.0, float(np.median(r2))
+    assert 0.5 < med < 2.0, med
+    assert float(ratio.min()) > 0.3 and float(ratio.max()) < 3.0

@@ -24,6 +24,31 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 
+def weld_vertices(positions: np.ndarray, indices: np.ndarray,
+                  tol: float = 0.0):
+    """Merge positionally-identical vertices and remap face indices.
+
+    PLY exports with per-face normals duplicate every shared vertex (e.g.
+    data/rounded_cube.ply: all 10,830 edges look like boundaries), which
+    makes topology-based algorithms (Loop subdivision boundary rules)
+    open cracks along every seam. Welding restores the closed 2-manifold.
+    ``tol > 0`` quantizes coordinates to that grid before matching;
+    ``tol = 0`` requires exact float equality. Degenerate faces produced
+    by the merge are dropped. Returns (positions, indices)."""
+    p = np.asarray(positions)
+    if tol > 0.0:
+        key = np.round(p / tol).astype(np.int64)
+    else:
+        key = p
+    _, first, inv = np.unique(key, axis=0, return_index=True,
+                              return_inverse=True)
+    new_p = p[first]
+    new_f = inv[np.asarray(indices)]
+    ok = ((new_f[:, 0] != new_f[:, 1]) & (new_f[:, 1] != new_f[:, 2])
+          & (new_f[:, 2] != new_f[:, 0]))
+    return new_p, np.ascontiguousarray(new_f[ok], np.int32)
+
+
 def _build_topology(indices: np.ndarray, n_verts: int):
     """Per-vertex ordered one-rings + boundary flags.
 

@@ -110,7 +110,13 @@ def pack_features_pallas(tri_verts: np.ndarray):
     k = (v0 * n).sum(-1)
     f = len(tv)
     f_sb = -(-max(f, 1) // SB) * SB          # pad to superblock multiple
-    ch = min(f_sb, CHUNK)
+    # multi-chunk scenes stream feat blocks through a double-buffered
+    # pipeline: two CHUNK-sized bf16 blocks (2 x 6.3 MiB) plus the MXU
+    # dot scratch overflow the 16 MiB scoped VMEM (observed at 277k
+    # faces, round 5) — halve the resident chunk when streaming.
+    # Single-chunk scenes (<= CHUNK faces after padding) keep one
+    # full-size block.
+    ch = min(f_sb, CHUNK if f_sb <= CHUNK else CHUNK // 2)
     s_blocks = -(-f_sb // ch)
     fpad = s_blocks * ch
     q = np.zeros((4, _K, fpad), np.float64)

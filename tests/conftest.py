@@ -20,3 +20,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the attached-sampling gradient programs
+# (test_grad combined test) take tens of minutes of XLA-CPU/LLVM compile;
+# cache them so only the first suite run on a machine pays it.
+jax.config.update("jax_compilation_cache_dir", "/tmp/fountain_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)

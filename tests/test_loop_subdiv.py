@@ -80,3 +80,32 @@ def test_boundary_edges_preserved():
     pos2, _, _ = loop_subdivide(pos, faces, 2)
     assert pos2[:, 0].min() >= -1e-6 and pos2[:, 0].max() <= 1.0 + 1e-6
     assert pos2[:, 1].min() >= -1e-6 and pos2[:, 1].max() <= 1.0 + 1e-6
+
+
+def test_weld_vertices_closes_duplicated_mesh():
+    """PLY-style vertex duplication (per-face normals) makes every edge
+    look like a boundary; weld_vertices must restore the closed
+    2-manifold so Loop boundary rules don't open cracks (the round-5
+    large-scene 33%-leak finding)."""
+    from fountain_tpu.geometry.loop_subdiv import weld_vertices
+
+    # tetrahedron with every face's vertices duplicated
+    base = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                    np.float32)
+    faces = np.array([[0, 2, 1], [0, 1, 3], [1, 2, 3], [2, 0, 3]],
+                     np.int32)
+    dup_p = base[faces].reshape(-1, 3)
+    dup_f = np.arange(12, dtype=np.int32).reshape(4, 3)
+
+    def boundary_edges(f):
+        e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        _, cnt = np.unique(np.sort(e, axis=1), axis=0, return_counts=True)
+        return int((cnt != 2).sum())
+
+    assert boundary_edges(dup_f) == 12          # all edges look open
+    wp, wf = weld_vertices(dup_p, dup_f)
+    assert len(wp) == 4 and len(wf) == 4
+    assert boundary_edges(wf) == 0              # closed again
+    # subdivision of the welded mesh stays closed
+    _, f2, _ = loop_subdivide(wp, wf, 2)
+    assert boundary_edges(np.asarray(f2)) == 0

@@ -25,11 +25,15 @@ DEPTH = 5
 
 
 def build_big_mesh():
-    from fountain_tpu.geometry.loop_subdiv import loop_subdivide
+    from fountain_tpu.geometry.loop_subdiv import (loop_subdivide,
+                                                   weld_vertices)
     from fountain_tpu.io.ply import load_ply
     mesh = load_ply("data/rounded_cube.ply")
     t0 = time.time()
-    p, f, n = loop_subdivide(mesh.positions, mesh.indices, n_levels=3)
+    # the PLY duplicates shared vertices (per-face normals); weld first or
+    # Loop boundary rules open cracks along every seam (33% ray leaks)
+    wp, wf = weld_vertices(mesh.positions, mesh.indices)
+    p, f, n = loop_subdivide(wp, wf, n_levels=3)
     print(f"# subdivided to {len(f)} faces in {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
     assert len(f) >= 200_000, len(f)

@@ -34,10 +34,29 @@ def main():
     cfg = P.PathConfig(max_depth=MAX_DEPTH, rr_threshold=1.0, nee=True)
     tv = scene.textures.value
 
+    # BENCH_REGEN=1: profile the path-regeneration step (the bench
+    # headline) instead of the fixed wave
+    regen = _os.environ.get("BENCH_REGEN", "0") == "1"
+    if regen:
+        from bench import REGEN_ITERS
+
     @jax.jit
     def step(tv, seed):
         def loss_fn(tv):
             s = scene._replace(textures=scene.textures._replace(value=tv))
+            if regen:
+                def rf(lane_ids, sample_ids):
+                    pxr = (lane_ids % res).astype(jnp.float32)
+                    pyr = (lane_ids // res).astype(jnp.float32)
+                    ur = rng.uniform4(lane_ids, sample_ids, P.DIM_CAMERA,
+                                      seed)
+                    rr = generate_rays(cam, pxr + ur[0], pyr + ur[1],
+                                       ur[2], ur[3])
+                    return rr.o, rr.d, jnp.zeros_like(pxr)
+                out = P.trace_paths(s, o, d, lane, sample, cfg, seed=seed,
+                                    regen_fn=rf, n_iters=REGEN_ITERS)
+                nd = jnp.maximum(out.n_done.sum(), 1).astype(jnp.float32)
+                return jnp.sum(out.accum.sum()) / (3.0 * nd)
             r = P.trace_paths(s, o, d, lane, sample, cfg, seed=seed)
             return (r.x + r.y + r.z).sum() / 3.0
         return jax.value_and_grad(loss_fn)(tv)
